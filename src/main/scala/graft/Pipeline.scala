@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg._
+import graft.ingest.{DocSynthesizer, SynthConfig}
+import graft.extract.Extraction
+import graft.embed.{Embedder, EmbedderConfig}
+import graft.graph.NeighborAgg
+import graft.align.{GatWeights, MoCoTrainer, MoCoConfig}
+import graft.candidates.{ExactTopK, LshTopK}
+import graft.canon.ConnectedComponents
+import graft.tableio.TableIO
+
+/** End-to-end KG-construction pipeline (the north star, BASELINE.json):
+  *
+  *   interleaved docs → mention detection + triple extraction per span
+  *   → embeddings (broadcast-model mapPartitions) → 1-hop neighbor
+  *   aggregation → MoCo-trained GAT encoding → candidate top-k join
+  *   (exact or LSH+salting) → RSM-scored alignment → connected-components
+  *   canonicalization → partitioned (subj, pred, obj) triples with
+  *   lineage + checkpointed resume (TableIO).
+  *
+  * Shuffle inventory of one run (SURVEY.md §3.1 Spark trace): extraction
+  * is narrow after the explode; the neighbor agg shuffles once on entity
+  * id; block assembly shuffles once on neighbor id; the candidate join
+  * shuffles on LSH bucket (or not at all on the broadcast path); CC runs
+  * 2–4 small rounds; final materialization shuffles on the partition
+  * column. Entity dictionaries ride broadcast joins throughout.
+  */
+final case class PipelineConfig(
+    synth: SynthConfig = SynthConfig(),
+    embed: EmbedderConfig = EmbedderConfig(),
+    moco: MoCoConfig = MoCoConfig(epochs = 1),
+    useLsh: Boolean = false,
+    useMoco: Boolean = false,
+    topK: Int = Dims.TopK,
+    /** RSM z-score acceptance threshold for canonicalization edges.
+      * Empirically on the fixture: 4.0 leaves ~1/3 of aligned pairs
+      * unmerged; 2.0 merges ~all with no observed false merges (rank-1
+      * precision is gated separately by Hit@1). */
+    rsmThreshold: Double = 2.0,
+    checkpointDir: Option[String] = None)
+
+final case class PipelineResult(
+    docs: Dataset[Doc],
+    entities: Dataset[Entity],
+    rawTriples: Dataset[RawTriple],
+    idTriples: Dataset[Triple],
+    alignment: Dataset[Candidate],
+    components: DataFrame,
+    canonicalTriples: DataFrame)
+
+object Pipeline {
+
+  /** Run on synthesized fixtures (no external data permitted). */
+  def runSynthetic(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
+    val docs = DocSynthesizer.docs(spark, cfg.synth)
+    val ents = DocSynthesizer.entities(spark, cfg.synth)
+    run(spark, docs, ents, cfg)
+  }
+
+  def run(spark: SparkSession, docs: Dataset[Doc], ents: Dataset[Entity], cfg: PipelineConfig): PipelineResult = {
+    import spark.implicits._
+
+    // ---- stage 1: extraction (checkpointable) ----
+    val raw = Extraction.rawTriples(spark, docs)
+    val idTriples = cfg.checkpointDir match {
+      case Some(dir) =>
+        TableIO.computeIfAbsent(spark, s"$dir/id_triples", "extract") {
+          Extraction.idTriples(spark, raw, ents).toDF()
+        }.as[Triple]
+      case None => Extraction.idTriples(spark, raw, ents)
+    }
+
+    // ---- stage 2: embeddings (broadcast-model mapPartitions) ----
+    val embs = cfg.checkpointDir match {
+      case Some(dir) =>
+        TableIO.computeIfAbsent(spark, s"$dir/embeddings", "embed") {
+          Embedder.embedEntities(spark, ents, cfg.embed).toDF()
+        }.as[Emb]
+      case None => Embedder.embedEntities(spark, ents, cfg.embed)
+    }
+
+    // ---- stage 3: neighbor aggregation + encoding ----
+    val withSeq = idTriples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
+    val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
+    val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents)
+    val blocks = NeighborAgg.blocks(spark, ordered, embs, ents, cfg.embed.dim)
+
+    val weights: GatWeights =
+      if (cfg.useMoco) MoCoTrainer.train(spark, blocks, cfg.embed.dim, cfg.moco)
+      else align.GatKernel.initWeights(cfg.embed.dim)
+    val encoded = MoCoTrainer.encode(spark, blocks, weights)
+
+    // entities with no triples keep their raw embedding (reference blocks
+    // exist only for entities appearing in triples)
+    val encodedAll = encoded.toDF("id", "emb").unionByName(
+      embs.toDF("id", "emb").join(encoded.toDF("id", "emb2").select("id"), Seq("id"), "left_anti"))
+
+    // ---- stage 4: candidate top-k join (KG1 queries vs KG2 corpus) ----
+    val kgOf = broadcast(ents.toDF().select(col("id"), col("kg")))
+    val embById = encodedAll.join(kgOf, "id")
+    val q1 = embById.filter(col("kg") === 1).select(col("id"), col("emb")).as[Emb]
+    val c2 = embById.filter(col("kg") === 2).select(col("id"), col("emb")).as[Emb]
+    val cands =
+      if (cfg.useLsh) LshTopK.topK(spark, q1, c2, cfg.topK)
+      else ExactTopK.topK(spark, q1, c2, cfg.topK)
+
+    // ---- stage 5: canonicalization ----
+    val acceptedEdges = cands.toDF()
+      .filter(col("rank") === 1 && col("score") >= cfg.rsmThreshold)
+      .select(col("srcId").as("a"), col("dstId").as("b"))
+    val comps = ConnectedComponents.run(spark, acceptedEdges)
+
+    // ---- stage 6: materialize canonical (subj, pred, obj) ----
+    val canonMap = comps.select(col("node").as("id"), col("component").as("canon"))
+    val names = ents.toDF().select(col("id"), col("name"))
+    val t = idTriples.toDF()
+      .join(canonMap.withColumnRenamed("id", "head").withColumnRenamed("canon", "subjId"), Seq("head"), "left")
+      .join(canonMap.withColumnRenamed("id", "tail").withColumnRenamed("canon", "objId"), Seq("tail"), "left")
+      .withColumn("subjId", coalesce(col("subjId"), col("head")))
+      .withColumn("objId", coalesce(col("objId"), col("tail")))
+      .join(broadcast(names).withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
+      .join(broadcast(names).withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
+      .select(col("subj"), concat(lit("rel_"), col("rel")).as("pred"), col("obj"),
+        col("subjId"), col("objId"), pmod(col("subjId"), lit(16)).as("bucket"))
+    val canonical = cfg.checkpointDir match {
+      case Some(dir) =>
+        TableIO.computeIfAbsent(spark, s"$dir/triples_canonical", "materialize",
+          inputs = Seq(s"$dir/id_triples"), partitionCols = Seq("bucket"))(t)
+      case None => t
+    }
+
+    PipelineResult(docs, ents, raw, idTriples, cands, comps, canonical)
+  }
+}

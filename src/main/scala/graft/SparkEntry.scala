@@ -2,9 +2,17 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: the full KG-construction pipeline (docs → extraction →
+    * embed → neighbor-aware alignment → CC canonicalization) on a tiny
+    * deterministic fixture — returns the canonical (subj, pred, obj)
+    * triple table. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = PipelineConfig(
+      synth = graft.ingest.SynthConfig(entitiesPerKg = 100),
+      embed = graft.embed.EmbedderConfig(dim = 48))
+    Pipeline.runSynthetic(spark, cfg).canonicalTriples
+      .select("subj", "pred", "obj", "subjId", "objId")
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,76 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative connected components over accepted alignment edges —
+  * large-star / small-star alternation (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14), expressed as pure
+  * DataFrame joins/aggregations so Catalyst + AQE handle partitioning
+  * (north star: canonicalization via iterative connected-components
+  * large-star/small-star joins; no GraphX, Dataset/Catalyst only).
+  *
+  * Converges in O(log^2 n) rounds; alignment components are near-pairs
+  * (diameter ≤ 3) so 2–4 rounds in practice. Each round is two
+  * shuffles (groupBy on each star). Convergence is detected by an
+  * order-independent checksum aggregate (xor/sum of edge hashes) —
+  * no driver-side edge materialization.
+  */
+object ConnectedComponents {
+
+  private def largeStar(edges: DataFrame): DataFrame = {
+    // symmetrize, group by u, m = min(N(u) ∪ {u}), emit (v, m) for v > u
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    sym.groupBy(col("a"))
+      .agg(collect_set(col("b")).as("ns"))
+      .select(col("a"), array_min(array_union(col("ns"), array(col("a")))).as("m"), explode(col("ns")).as("v"))
+      .filter(col("v") > col("a"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // orient u > v, group by u, m = min(N(u) ∪ {u}), emit (v, m) ∀ v ≠ m
+    val oriented = edges.select(
+      greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+    oriented.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("ns"))
+      .select(col("u"), array_min(col("ns")).as("m"), explode(array_union(col("ns"), array(col("u")))).as("v"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  private def checksum(edges: DataFrame): (Long, Long) = {
+    val r = edges.select(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** edges: DataFrame(a LONG, b LONG) undirected.
+    * Returns DataFrame(node LONG, component LONG) where component is the
+    * minimum node id reachable — for every node appearing in any edge. */
+  def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 20): DataFrame = {
+    var edges = edges0.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var prev = checksum(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      it += 1
+    }
+    // at convergence every edge is (node > root, root = component min)
+    val nodes = edges.select(col("a").as("node"), col("b").as("component"))
+    val roots = edges.select(col("b").as("node")).distinct()
+      .withColumn("component", col("node"))
+    nodes.unionByName(roots).groupBy("node").agg(min("component").as("component"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg._
+
+/** Quality metrics (SURVEY.md §2.3 J5, §2.4 A4; BASELINE.md gates). */
+object Metrics {
+
+  /** Hit@1 / Hit@10 of candidate rankings vs gold links — the join-based
+    * twin of the reference eval (model/layers_LaBSE_neighbor.py:304-317).
+    * Links are applied symmetrically (J3). Sources with no gold target
+    * are excluded, mirroring the linked-subset eval (:307-310). */
+  def hitAtK(spark: SparkSession, cands: Dataset[Candidate], gold: Dataset[Link], k: Int = Dims.TopK): DataFrame = {
+    val g = gold.toDF("e1", "e2")
+    val hits = cands.toDF()
+      .join(g, col("srcId") === col("e1"))
+      .groupBy(col("srcId"))
+      .agg(
+        max(when(col("dstId") === col("e2") && col("rank") === 1, 1).otherwise(0)).as("hit1"),
+        max(when(col("dstId") === col("e2") && col("rank") <= k, 1).otherwise(0)).as("hitk"))
+    hits.agg(
+      avg(col("hit1")).as("hit_at_1"),
+      avg(col("hitk")).as(s"hit_at_$k"),
+      count(lit(1)).as("n_sources"))
+  }
+
+  /** Precision/recall of emitted triples vs the gold triple set (binding
+    * gate: P/R ≥ 0.95, BASELINE.json). Exact set semantics on
+    * (head, rel, tail). */
+  def triplePR(spark: SparkSession, got: Dataset[Triple], gold: Dataset[Triple]): (Double, Double) = {
+    val g = got.toDF().distinct()
+    val o = gold.toDF().distinct()
+    val inter = g.join(o, Seq("head", "rel", "tail"), "left_semi").count().toDouble
+    val nG = g.count().toDouble
+    val nO = o.count().toDouble
+    (if (nG == 0) 0 else inter / nG, if (nO == 0) 0 else inter / nO)
+  }
+
+  /** Per-row span-sequence equality (BASELINE.json input_hint): fraction
+    * of docs whose (kind, text, media_ref, order) sequence round-trips
+    * exactly. Must be 1.0. */
+  def spanSequenceEquality(spark: SparkSession, original: Dataset[Doc], roundTripped: Dataset[Doc]): Double = {
+    import spark.implicits._
+    def proj(d: Dataset[Doc]): DataFrame = d.toDF()
+      .select(col("doc_id"), transform(col("spans"),
+        s => struct(s.getField("kind"), s.getField("text"), s.getField("media_ref"))).as("sig"))
+    val a = proj(original).withColumnRenamed("sig", "sig_a")
+    val b = proj(roundTripped).withColumnRenamed("sig", "sig_b")
+    val joined = a.join(b, Seq("doc_id"), "left")
+    val r = joined.agg(
+      avg(when(col("sig_a") === col("sig_b"), 1.0).otherwise(0.0)).as("eq")).head()
+    r.getDouble(0)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg._
+
+/** Mention detection + triple extraction over interleaved documents.
+  *
+  * Input: Dataset[Doc] per BASELINE.json input_hint. The plan is fully
+  * declarative up to the per-span parse: `posexplode(spans)` keeps the
+  * span index (span order is semantic — per-row span-sequence equality),
+  * Catalyst prunes media spans' text payloads via the kind filter, and
+  * the token-level parse is a typed flatMap (a Generator-equivalent,
+  * SURVEY.md §2.8).
+  *
+  * Grammar: text spans contain sentences `<subjTok> rel_<r> <objTok> .`
+  * where mentions are single whitespace tokens and predicates match
+  * rel_\d+. The parse emits one RawTriple per (prev, rel_k, next) token
+  * window — robust to sentence concatenation and stray tokens.
+  */
+object Extraction {
+  private val PredPat = "rel_(\\d+)".r
+
+  /** kg tag derived from doc_id prefix ("kg1_"/"kg2_"); 0 if untagged. */
+  def kgOf(docId: String): Int =
+    if (docId.startsWith("kg1")) 1 else if (docId.startsWith("kg2")) 2 else 0
+
+  /** Explode spans keeping (doc_id, spanIdx, kind, text, media_ref, offset).
+    * Column pruning: downstream text-only consumers never read media_ref. */
+  def explodeSpans(docs: Dataset[Doc]): DataFrame =
+    docs.select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+      .select(col("doc_id"), col("span_idx"),
+        col("span.kind").as("kind"), col("span.text").as("text"),
+        col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
+
+  /** Parse one text-span into triples. Pure, order-preserving. */
+  def parseSpan(text: String): Seq[(String, String, String)] = {
+    val toks = text.split(' ')
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var i = 1
+    while (i < toks.length - 1) {
+      toks(i) match {
+        case PredPat(_) if toks(i - 1) != "." && toks(i + 1) != "." =>
+          out += ((toks(i - 1), toks(i), toks(i + 1)))
+          i += 2
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** docs → RawTriple with a content-derived global sequence number
+    * (doc hash × span idx × position): first-seen order must be stable
+    * under any partitioning (reference file-line-order semantics,
+    * loader/DBP15KRawNeighbors.py:25-45; SURVEY.md §7.5). */
+  def rawTriples(spark: SparkSession, docs: Dataset[Doc]): Dataset[RawTriple] = {
+    import spark.implicits._
+    explodeSpans(docs)
+      .filter(col("kind") === "text")
+      .select("doc_id", "span_idx", "text")
+      .as[(String, Int, String)]
+      .flatMap { case (docId, spanIdx, text) =>
+        val kg = kgOf(docId)
+        parseSpan(text).zipWithIndex.map { case ((s, p, o), k) =>
+          val seq = graft.util.DetHash.strHash(docId) & 0xffffffffL
+          RawTriple(docId, kg, s, p, o, (seq << 20) | (spanIdx.toLong << 8) | k.toLong)
+        }
+      }
+  }
+
+  /** All entity mentions (subjects + objects) in first-seen order. */
+  def mentions(spark: SparkSession, docs: Dataset[Doc]): Dataset[Mention] = {
+    import spark.implicits._
+    rawTriples(spark, docs).flatMap { t =>
+      Seq(Mention(t.docId, t.kg, t.subj, 0, t.seq * 2),
+          Mention(t.docId, t.kg, t.obj, 0, t.seq * 2 + 1))
+    }
+  }
+
+  /** Resolve surface triples to id space via the entity dictionary
+    * (broadcast equi-join J1 — dicts are small vs triples). */
+  def idTriples(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity]): Dataset[Triple] = {
+    import spark.implicits._
+    val e = broadcast(ents.toDF())
+    raw.toDF()
+      .join(e.select(col("name").as("subj"), col("kg"), col("id").as("head")), Seq("subj", "kg"))
+      .join(e.select(col("name").as("obj"), col("kg"), col("id").as("tail")), Seq("obj", "kg"))
+      .select(col("head"), regexp_extract(col("pred"), "rel_(\\d+)", 1).cast("long").as("rel"), col("tail"))
+      .as[Triple]
+  }
+
+  /** Span-sequence round-trip: explode + re-collect by span_idx must equal
+    * the input spans exactly (kind, text, media_ref, order) — the binding
+    * per-row invariant from BASELINE.json input_hint. */
+  def roundTripSpans(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    explodeSpans(docs)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(
+        col("span_idx"),
+        struct(col("kind"), col("text"), col("media_ref"), col("offset")).as("span")
+      ))).as("tmp"))
+      .select(col("doc_id"), col("tmp.span").as("spans"))
+      .as[Doc]
+  }
+}

@@ -1,0 +1,126 @@
+package graft.graph
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.kg._
+
+/** One directed occurrence of `neighbor` next to `center`, at global
+  * first-seen position `seq` (file line order in the reference). */
+case class Edge(center: Long, neighbor: String, neighborId: Long, seq: Long)
+
+/** Ordered-dedup neighbor collect — the reference's load-bearing
+  * aggregation (SURVEY.md §2.4 A1; loader/DBP15KRawNeighbors.py:25-45):
+  * distinct neighbor strings in FIRST-SEEN order (min seq per string),
+  * truncated to `limit`.
+  *
+  * Scale note: the buffer is BOUNDED at `limit` entries. Pruning beyond
+  * the `limit` smallest seqs is safe under partial-aggregate merge: seqs
+  * only matter via their per-string minimum, and any globally-qualifying
+  * occurrence lives in some partial where it ranks within the smallest
+  * `limit`. Hub entities with degree 10^6 cost O(limit) memory, not
+  * O(degree) — required at the 10^12-doc design point.
+  */
+class OrderedDedupAgg(limit: Int)
+    extends Aggregator[Edge, Map[String, (Long, Long)], Seq[(String, Long)]] {
+
+  def zero: Map[String, (Long, Long)] = Map.empty
+
+  private def prune(m: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    if (m.size <= limit) m else m.toSeq.sortBy(_._2._1).take(limit).toMap
+
+  def reduce(b: Map[String, (Long, Long)], e: Edge): Map[String, (Long, Long)] =
+    b.get(e.neighbor) match {
+      case Some((s, _)) if s <= e.seq => b
+      case _ => prune(b.updated(e.neighbor, (e.seq, e.neighborId)))
+    }
+
+  def merge(x: Map[String, (Long, Long)], y: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    prune(y.foldLeft(x) { case (acc, (n, (s, id))) =>
+      acc.get(n) match {
+        case Some((s0, _)) if s0 <= s => acc
+        case _ => acc.updated(n, (s, id))
+      }
+    })
+
+  /** Distinct (neighborName, neighborId) in first-seen order. */
+  def finish(b: Map[String, (Long, Long)]): Seq[(String, Long)] =
+    b.toSeq.sortBy(_._2._1).take(limit).map { case (n, (_, id)) => (n, id) }
+
+  def bufferEncoder: Encoder[Map[String, (Long, Long)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+}
+
+/** Neighborhood view builder: directed triples → undirected 1-hop
+  * neighborhoods (U2 union of both directions) → ordered-dedup collect →
+  * NeighborBlock with center row 0, zero padding. The star adjacency is
+  * derived from validLen inside the GAT kernel and never materialized
+  * (SURVEY.md §2.4 A2; loader/DBP15KRawNeighbors.py:66-82). */
+object NeighborAgg {
+
+  /** Both-direction edge stream with stable seq: head→tail gets seq*2,
+    * tail→head seq*2+1 (the reference processes the head side then the
+    * tail side of each line — loader/DBP15KRawNeighbors.py:36-45). */
+  def undirectedEdges(spark: SparkSession, triplesWithSeq: Dataset[(Triple, Long)],
+                      ents: Dataset[Entity]): Dataset[Edge] = {
+    import spark.implicits._
+    val names = broadcast(ents.toDF().select(col("id"), col("name")))
+    val t = triplesWithSeq.toDF("t", "seq")
+    val fwd = t.select(col("t.head").as("center"), col("t.tail").as("nid"), (col("seq") * 2).as("seq"))
+    val rev = t.select(col("t.tail").as("center"), col("t.head").as("nid"), (col("seq") * 2 + 1).as("seq"))
+    fwd.unionByName(rev)
+      .join(names, col("nid") === col("id"))
+      .select(col("center"), col("name").as("neighbor"), col("nid").as("neighborId"), col("seq"))
+      .as[Edge]
+  }
+
+  /** center → ordered distinct neighbors, truncated to NeighborSize-1
+    * (center occupies row 0). Center-valued neighbor strings are excluded:
+    * the reference seeds the list with the center string, so its dedup
+    * check drops them (loader/DBP15KRawNeighbors.py:36-38). One shuffle,
+    * partial-aggregated map-side. */
+  def orderedNeighbors(spark: SparkSession, edges: Dataset[Edge], ents: Dataset[Entity],
+                       limit: Int = Dims.NeighborSize - 1): Dataset[(Long, Seq[(String, Long)])] = {
+    import spark.implicits._
+    val centerNames = broadcast(ents.toDF().select(col("id").as("center"), col("name").as("centerName")))
+    val filtered = edges.toDF().join(centerNames, Seq("center"))
+      .filter(col("neighbor") =!= col("centerName"))
+      .select(col("center"), col("neighbor"), col("neighborId"), col("seq"))
+      .as[Edge]
+    filtered.groupByKey(_.center)
+      .agg(new OrderedDedupAgg(limit).toColumn.name("neighbors"))
+  }
+
+  /** Assemble NeighborBlocks: explode ordered neighbor ids, join
+    * embeddings (shuffle on neighbor id), re-collect by (center, pos) —
+    * order restored from pos, then prepend center row and zero-pad. */
+  def blocks(spark: SparkSession, ordered: Dataset[(Long, Seq[(String, Long)])],
+             embs: Dataset[Emb], ents: Dataset[Entity], dim: Int): Dataset[NeighborBlock] = {
+    import spark.implicits._
+    val embDf = embs.toDF("eid", "emb")
+    val kgDf = broadcast(ents.toDF().select(col("id").as("cid"), col("kg")))
+    val exploded = ordered.toDF("center", "ns")
+      .select(col("center"), posexplode(col("ns")).as(Seq("pos", "n")))
+      .select(col("center"), col("pos"), col("n._2").as("nid"))
+    val joined = exploded.join(embDf, col("nid") === col("eid"))
+      .groupBy(col("center"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("emb")))).as("sorted"))
+      .select(col("center"), col("sorted.emb").as("nembs"))
+    joined
+      .join(embDf.select(col("eid").as("center"), col("emb").as("cemb")), Seq("center"))
+      .join(kgDf, col("center") === col("cid"))
+      .select(col("center"), col("kg"), col("cemb"), col("nembs"))
+      .as[(Long, Int, Array[Float], Seq[Array[Float]])]
+      .map { case (id, kg, cemb, nembs) =>
+        val rows = new Array[Array[Float]](Dims.NeighborSize)
+        rows(0) = cemb
+        var i = 1
+        while (i < Dims.NeighborSize) {
+          rows(i) = if (i - 1 < nembs.length) nembs(i - 1) else new Array[Float](dim)
+          i += 1
+        }
+        NeighborBlock(id, kg, rows, math.min(nembs.length + 1, Dims.NeighborSize))
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.kg
+
+/** Core data model for the KG-construction engine.
+  *
+  * Mirrors the semantic inventory of the reference (SURVEY.md §1):
+  *   - entity dictionaries  (reference: loader/DBP15kRawLoader.py:11-19)
+  *   - relation triples     (reference: loader/DBP15KRawNeighbors.py:26-27)
+  *   - alignment links      (reference: model/layers_LaBSE_neighbor.py:237-250)
+  *   - embeddings           (reference: script/preprocess/labse_dump.py:74-86)
+  * plus the engine-side input from BASELINE.json input_hint:
+  *   (doc_id string, spans array<struct<kind,text,media_ref,offset>>).
+  */
+
+/** One span of an interleaved text+media document (BASELINE.json input_hint).
+  * `kind` is "text" or "media"; exactly one of text/mediaRef is non-empty.
+  * `offset` is strictly increasing within a doc — span order is semantic
+  * (per-row span-sequence equality is a binding invariant). */
+case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** An interleaved document. Column names match input_hint exactly so the
+  * Dataset encoder round-trips the required schema. */
+case class Doc(doc_id: String, spans: Seq[Span])
+
+/** An entity mention detected in a text span. `seq` is the global
+  * first-seen order (doc order × span order × position in span) — the
+  * reference's neighbor semantics are file-line-order sensitive
+  * (loader/DBP15KRawNeighbors.py:25-45), so we carry an explicit sequence
+  * number from the scan onward instead of relying on partition order. */
+case class Mention(docId: String, kg: Int, surface: String, spanOffset: Int, seq: Long)
+
+/** A raw extracted triple, pre-linking: surface forms + predicate label. */
+case class RawTriple(docId: String, kg: Int, subj: String, pred: String, obj: String, seq: Long)
+
+/** Entity dictionary row (reference ent_ids_* TSV). */
+case class Entity(id: Long, name: String, kg: Int)
+
+/** Id-space triple (reference triples_* TSV). */
+case class Triple(head: Long, rel: Long, tail: Long)
+
+/** Final materialized triple with canonical entity ids + label strings. */
+case class CanonTriple(subj: String, pred: String, obj: String, subjId: Long, objId: Long)
+
+/** Alignment link (reference ref_ent_ids / test.ref). */
+case class Link(e1: Long, e2: Long)
+
+/** Entity embedding (reference raw_LaBSE_emb_*.pkl → parquet). */
+case class Emb(id: Long, emb: Array[Float])
+
+/** A neighbor block: the unit of work of the alignment model
+  * (reference loader/DBP15KRawNeighbors.py:66-82): row 0 = center
+  * embedding, rows 1..validLen-1 = distinct 1-hop neighbor embeddings in
+  * first-seen order, truncated to `NeighborSize`. The star adjacency is
+  * fully derived from validLen, so it is never materialized. */
+case class NeighborBlock(id: Long, kg: Int, emb: Array[Array[Float]], validLen: Int)
+
+/** Scored alignment candidate (after top-k similarity join). */
+case class Candidate(srcId: Long, dstId: Long, score: Double, rank: Int)
+
+object Dims {
+  /** Embedding dimension — reference settings.py:35 (LaBSE_DIM = 768).
+    * Configurable; 64 for fixtures keeps tests fast, 768 available. */
+  val DefaultDim = 64
+  /** Neighborhood size incl. center — reference settings.py:39. */
+  val NeighborSize = 20
+  /** Token length for the char-ordinal ablation — reference settings.py:33. */
+  val TokenLen = 50
+  /** Global seed — reference settings.py:13-18 / run_LaBSE_neighbor.py:5. */
+  val Seed = 37L
+  /** Top-k retrieval — reference model/layers_LaBSE_neighbor.py:315. */
+  val TopK = 10
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.kg._
+import graft.ingest.{DocSynthesizer, SynthConfig}
+import graft.extract.Extraction
+import graft.embed.{Embedder, EmbedderConfig}
+import graft.eval.Metrics
+
+/** End-to-end gates on the tiny fixture (FIXTURES.md scales):
+  * extraction P/R ≥ 0.95, span-sequence equality = 1.0, Hit@1 on
+  * planted alignments. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val cfg = PipelineConfig(
+    synth = SynthConfig(entitiesPerKg = 80),
+    embed = EmbedderConfig(dim = 48))
+  lazy val result = Pipeline.runSynthetic(spark, cfg)
+
+  test("span-sequence equality round-trips exactly (binding invariant)") {
+    val docs = DocSynthesizer.docs(spark, cfg.synth)
+    val rt = Extraction.roundTripSpans(docs)
+    assert(Metrics.spanSequenceEquality(spark, docs, rt) == 1.0)
+  }
+
+  test("triple extraction P/R >= 0.95 vs gold") {
+    val gold = DocSynthesizer.goldTriples(spark, cfg.synth, 1)
+      .union(DocSynthesizer.goldTriples(spark, cfg.synth, 2))
+    val (p, r) = Metrics.triplePR(spark, result.idTriples, gold)
+    assert(p >= 0.95, s"precision $p")
+    assert(r >= 0.95, s"recall $r")
+  }
+
+  test("exact alignment achieves high Hit@1 on planted links") {
+    val gold = DocSynthesizer.goldLinks(spark, cfg.synth)
+    val m = Metrics.hitAtK(spark, result.alignment, gold).head()
+    val hit1 = m.getDouble(0)
+    val hit10 = m.getDouble(1)
+    assert(m.getLong(2) > 0)
+    assert(hit1 >= 0.85, s"hit@1 $hit1")
+    assert(hit10 >= 0.95, s"hit@10 $hit10")
+  }
+
+  test("canonical triples are produced and reference canonical ids") {
+    assert(result.canonicalTriples.count() > 0)
+    val cols = result.canonicalTriples.columns.toSet
+    assert(Set("subj", "pred", "obj", "subjId", "objId").subsetOf(cols))
+  }
+
+  test("pipeline is deterministic across parallelism (content-derived seqs)") {
+    val a = result.idTriples.collect().map(t => (t.head, t.rel, t.tail)).sorted
+    val docs2 = DocSynthesizer.docs(spark, cfg.synth).repartition(13)
+    val ents2 = DocSynthesizer.entities(spark, cfg.synth)
+    val raw2 = Extraction.rawTriples(spark, docs2)
+    val b = Extraction.idTriples(spark, raw2, ents2).collect().map(t => (t.head, t.rel, t.tail)).sorted
+    assert(a.sameElements(b))
+  }
+}
