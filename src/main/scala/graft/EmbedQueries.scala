@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search + graph/window operators with DuckDB oracle twins:
+  * brute-force cosine top-k (the J4 exact path on the harness embeddings
+  * table), Hit@k eval (J5/A4), ordered-dedup neighbor aggregation (A1 via
+  * the typed Aggregator), connected components (recursive-CTE oracle),
+  * and event-time windows/sessionization. */
+object EmbedQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Cosine as explicit double arithmetic — same formula as DuckDB's
+    * list_cosine_similarity so cross-engine rank agreement holds. */
+  private val cosExpr =
+    """aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)
+       / sqrt(aggregate(qe, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       / sqrt(aggregate(ce, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+
+  // ---------- J4 exact path: brute-force cosine top-k ----------
+
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50).select(col("vec_id").as("src"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    q.join(broadcast(c), col("src") =!= col("dst"))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("src"), col("rank"), col("dst"))
+  }
+
+  val qCosineTopKSql =
+    """SELECT src, rank, dst FROM (
+         SELECT q.vec_id AS src, c.vec_id AS dst,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
+         FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+       WHERE rank <= 5"""
+
+  // ---------- J5/A4: Hit@k eval (label-match proxy for gold links) ----------
+
+  def qHitAtK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val labels = e.select(col("vec_id"), col("label"))
+    val topk = qCosineTopK(spark, dir)
+    topk
+      .join(labels.toDF("src", "src_label"), Seq("src"))
+      .join(labels.toDF("dst", "dst_label"), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(
+        max(when(col("rank") === 1 && col("src_label") === col("dst_label"), 1).otherwise(0)).as("h1"),
+        max(when(col("src_label") === col("dst_label"), 1).otherwise(0)).as("h5"))
+      .agg(sum(col("h1")).as("n_hit1"), sum(col("h5")).as("n_hit5"), count(lit(1)).as("n_queries"))
+  }
+
+  val qHitAtKSql =
+    s"""WITH topk AS ($qCosineTopKSql),
+       lab AS (SELECT vec_id, label FROM embeddings),
+       per AS (SELECT src,
+                max(CASE WHEN rank = 1 AND ls.label = ld.label THEN 1 ELSE 0 END) AS h1,
+                max(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS h5
+               FROM topk JOIN lab ls ON topk.src = ls.vec_id JOIN lab ld ON topk.dst = ld.vec_id
+               GROUP BY src)
+       SELECT sum(h1) AS n_hit1, sum(h5) AS n_hit5, count(*) AS n_queries FROM per"""
+
+  // ---------- A1: ordered-dedup neighbor agg (the typed Aggregator) ----------
+
+  def qNeighborAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // l_linenumber is not unique per order: derive a unique seq with a
+    // deterministic partkey tiebreak (mirrored in the oracle SQL)
+    val edges = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("center"),
+        col("l_partkey").cast("string").as("neighbor"),
+        col("l_partkey").as("neighborId"),
+        (col("l_linenumber").cast("long") * 100000 + col("l_partkey")).as("seq"))
+      .as[graft.graph.Edge]
+    edges.groupByKey(_.center)
+      .agg(new graft.graph.OrderedDedupAgg(5).toColumn.name("ns"))
+      .map { case (c, ns) => (c, ns.map(_._2), ns.length) }
+      .toDF("center", "neighbors", "n")
+  }
+
+  val qNeighborAggSql =
+    """WITH e AS (
+         SELECT l_orderkey AS center, l_partkey AS nb,
+                CAST(l_linenumber AS BIGINT) * 100000 + l_partkey AS seq,
+                row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
+         FROM lineitem),
+       d AS (SELECT center, nb, seq FROM e WHERE rn = 1)
+       SELECT center, (list(nb ORDER BY seq))[1:5] AS neighbors,
+              len((list(nb ORDER BY seq))[1:5]) AS n
+       FROM d GROUP BY center"""
+
+  // ---------- connected components vs recursive-CTE oracle ----------
+
+  def qConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("a"), (col("n_regionkey") + 100).cast("long").as("b"))
+    graft.canon.ConnectedComponents.run(spark, edges)
+  }
+
+  val qConnectedComponentsSql =
+    """WITH RECURSIVE e AS (SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_regionkey + 100 AS BIGINT) AS b FROM nation),
+       sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       reach AS (SELECT a AS node, b AS r FROM sym
+                 UNION SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+       SELECT node, min(r) AS component FROM (
+         SELECT node, r FROM reach UNION SELECT node, node FROM reach) GROUP BY node"""
+
+  // ---------- event-time tumbling window ----------
+
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val qEventsWindowSql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       min(value) AS min_v, max(value) AS max_v, count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2"""
+
+  // ---------- sessionization (lag + conditional cumulative sum) ----------
+
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("gap", unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val qSessionizeSql =
+    """WITH g AS (
+         SELECT user_id,
+                epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap
+         FROM events)
+       SELECT user_id,
+              sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+              count(*) AS n_events
+       FROM g GROUP BY user_id"""
+
+  val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_cosine_topk" -> (qCosineTopK _, qCosineTopKSql),
+    "q_hit_at_k" -> (qHitAtK _, qHitAtKSql),
+    "q_neighbor_agg" -> (qNeighborAgg _, qNeighborAggSql),
+    "q_connected_components" -> (qConnectedComponents _, qConnectedComponentsSql),
+    "q_events_window" -> (qEventsWindow _, qEventsWindowSql),
+    "q_sessionize" -> (qSessionize _, qSessionizeSql))
+}

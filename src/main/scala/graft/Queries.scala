@@ -210,10 +210,11 @@ object Queries {
     "q_union_tables" -> (qUnionTables _, qUnionTablesSql),
     "q_window_topk" -> (qWindowTopK _, qWindowTopKSql),
     "q_sorted_dict" -> (qSortedDict _, qSortedDictSql),
-    "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql)) ++ TextQueries.sqlChecked
+    "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql)) ++
+    TextQueries.sqlChecked ++ EmbedQueries.sqlChecked
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    sqlChecked.map { case (k, (f, _)) => k -> f }
+    sqlChecked.map { case (k, (f, _)) => k -> f } ++ KgQueries.rowsOnly
 
   def oracleSql: Map[String, String] =
     sqlChecked.map { case (k, (_, s)) => k -> s.linesIterator.map(_.trim).mkString(" ") }

@@ -88,11 +88,11 @@ object LshTopK {
       .setSeed(cfg.seed.toInt).setInputCol("features").setOutputCol("hashes")
     val model = lsh.fit(c)
 
+    val bucketOf = udf((v: MlVector) => v(0).toLong)
     def bucketed(df: DataFrame, idCol: String): DataFrame =
       model.transform(df)
         .select(col(idCol), col(s"${idCol}_emb"), posexplode(col("hashes")).as(Seq("table", "h")))
-        .select(col(idCol), col(s"${idCol}_emb"), col("table"),
-          col("h").getItem(0).cast("long").as("bucket"))
+        .select(col(idCol), col(s"${idCol}_emb"), col("table"), bucketOf(col("h")).as("bucket"))
 
     val qb = bucketed(q, "srcId")
     val cb = bucketed(c, "dstId")

@@ -27,8 +27,10 @@ class OrderedDedupAgg(limit: Int)
 
   def zero: Map[String, (Long, Long)] = Map.empty
 
+  // deterministic order: (minSeq, neighborId) — ties on seq are broken
+  // by id so results are stable under any partitioning / map iteration
   private def prune(m: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
-    if (m.size <= limit) m else m.toSeq.sortBy(_._2._1).take(limit).toMap
+    if (m.size <= limit) m else m.toSeq.sortBy(x => (x._2._1, x._2._2)).take(limit).toMap
 
   def reduce(b: Map[String, (Long, Long)], e: Edge): Map[String, (Long, Long)] =
     b.get(e.neighbor) match {
@@ -46,7 +48,7 @@ class OrderedDedupAgg(limit: Int)
 
   /** Distinct (neighborName, neighborId) in first-seen order. */
   def finish(b: Map[String, (Long, Long)]): Seq[(String, Long)] =
-    b.toSeq.sortBy(_._2._1).take(limit).map { case (n, (_, id)) => (n, id) }
+    b.toSeq.sortBy(x => (x._2._1, x._2._2)).take(limit).map { case (n, (_, id)) => (n, id) }
 
   def bufferEncoder: Encoder[Map[String, (Long, Long)]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()

@@ -13,6 +13,8 @@ import sys, os, json, glob, math
 import duckdb
 
 def norm(v):
+    if hasattr(v, 'tolist') and not isinstance(v, (int, float)):
+        return tuple(norm(x) for x in v.tolist())
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, list):
