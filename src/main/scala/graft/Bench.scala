@@ -1,24 +1,86 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Two measurements:
+  *  1. Operator battery timings on SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS.
+  *  2. KG-pipeline throughput (docs/sec, the north-rule metric) for the
+  *     SAME synthetic input at two parallelism levels — local[N] and
+  *     local[4N] — as the sandbox stand-in for N vs 4N executors
+  *     (BASELINE.md: no real cluster here). Reports both throughputs and
+  *     scaling efficiency = (docs/sec@4N) / (4 × docs/sec@N).
+  *
+  * A warmup pipeline runs first so JIT/codegen compilation does not bias
+  * the N-level run (which would otherwise inflate efficiency).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full pipeline run; returns wall seconds for `docs` documents. */
+  private def pipelineRun(spark: SparkSession, entities: Int, dim: Int): (Long, Double) = {
+    val cfg = PipelineConfig(
+      synth = graft.ingest.SynthConfig(entitiesPerKg = entities),
+      embed = graft.embed.EmbedderConfig(dim = dim),
+      useLsh = true)
+    val t0 = System.nanoTime()
+    val r = Pipeline.runSynthetic(spark, cfg)
+    val triples = r.canonicalTriples.count()
+    val docs = 2L * entities
+    require(triples > 0)
+    (docs, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchE = sys.env.getOrElse("SPARK_GRAFT_BENCH_E", "50000").toInt
+    val dim = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIM", "256").toInt
+    val nLow = math.max(2, cpus / 4)
+
+    // ---- operator battery at the driver-requested parallelism ----
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // warmup for the scaling runs (JIT + codegen caches)
+    pipelineRun(spark, math.max(200, benchE / 10), dim)
     spark.stop()
+
+    // ---- same job, two parallelism levels ----
+    spark = session(nLow)
+    val (docsN, secN) = pipelineRun(spark, benchE, dim)
+    spark.stop()
+    spark = session(cpus)
+    val (docs4N, sec4N) = pipelineRun(spark, benchE, dim)
+    spark.stop()
+
+    val thN = docsN / secN
+    val th4N = docs4N / sec4N
+    val eff = th4N / ((cpus.toDouble / nLow) * thN)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""kg_bench":{"docs":$docsN,"dim":$dim,"cores_n":$nLow,"cores_4n":$cpus,""" +
+      f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"docs_per_sec_n":$thN%.1f,"docs_per_sec_4n":$th4N%.1f,""" +
+      f""""scaling_efficiency":$eff%.3f}}""")
   }
 }

@@ -52,23 +52,29 @@ object GatKernel {
     s
   }
 
-  /** Forward pass for one neighbor block → L2-normalized output vector. */
+  /** Forward pass for one neighbor block → L2-normalized output vector.
+    * Operates on the flat row-major block (see NeighborBlock). */
   def forward(w: GatWeights, block: NeighborBlock): Array[Float] = {
-    val rows = block.emb
+    val flat = block.emb
     val n = block.validLen
-    val dim = rows(0).length
-    if (n <= 1) return Embedder.l2n(rows(0).clone())
+    val dim = flat.length / n
+    if (n <= 1) return Embedder.l2n(java.util.Arrays.copyOf(flat, dim))
+    @inline def rowDot(v: Array[Float], r: Int): Double = {
+      var s = 0.0; var j = 0; val off = r * dim
+      while (j < dim) { s += v(j).toDouble * flat(off + j); j += 1 }
+      s
+    }
     // attention logits of center(0) → each valid row i (star adjacency row 0)
-    val srcScore = dotf(w.attnSrc, rows(0))
+    val srcScore = rowDot(w.attnSrc, 0)
     val logits = new Array[Double](n)
     var maxL = Double.NegativeInfinity
     var i = 0
     while (i < n) {
-      logits(i) = leakyRelu(srcScore + dotf(w.attnDst, rows(i)))
+      logits(i) = leakyRelu(srcScore + rowDot(w.attnDst, i))
       if (logits(i) > maxL) maxL = logits(i)
       i += 1
     }
-    // masked softmax over valid rows (padding rows never enter)
+    // masked softmax over valid rows (padding rows never exist here)
     var z = 0.0
     i = 0
     while (i < n) { logits(i) = math.exp(logits(i) - maxL); z += logits(i); i += 1 }
@@ -76,16 +82,16 @@ object GatKernel {
     i = 0
     while (i < n) {
       val a = logits(i) / z
-      val r = rows(i)
+      val off = i * dim
       var j = 0
-      while (j < dim) { agg(j) += (a * r(j)).toFloat; j += 1 }
+      while (j < dim) { agg(j) += (a * flat(off + j)).toFloat; j += 1 }
       i += 1
     }
     // combine [center ∥ gatOut] → center + alpha * gatOut, then normalize
     // (model/layers_LaBSE_neighbor.py:85-87,127-131)
     val out = new Array[Float](dim)
     var j = 0
-    while (j < dim) { out(j) = rows(0)(j) + w.alpha * agg(j); j += 1 }
+    while (j < dim) { out(j) = flat(j) + w.alpha * agg(j); j += 1 }
     Embedder.l2n(out)
   }
 

@@ -58,72 +58,3 @@ object ExactTopK {
     }
   }
 }
-
-object LshTopK {
-  import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-  import org.apache.spark.ml.linalg.{Vectors, Vector => MlVector}
-
-  final case class LshConfig(
-      numHashTables: Int = 4,
-      bucketLength: Double = 0.5,
-      /** max rows of one (table,bucket) key before salting kicks in */
-      bucketCap: Int = 2000,
-      seed: Long = Dims.Seed)
-
-  private def toMl(spark: SparkSession, ds: Dataset[Emb], idCol: String): DataFrame = {
-    import spark.implicits._
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    ds.toDF("id", "emb").select(col("id").as(idCol), toVec(col("emb")).as("features"), col("emb").as(s"${idCol}_emb"))
-  }
-
-  /** Blocked candidate pairs with explicit skew handling, then exact
-    * cosine scoring and per-source top-k (heap per group, no full sort). */
-  def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
-           cfg: LshConfig = LshConfig()): Dataset[Candidate] = {
-    import spark.implicits._
-    val q = toMl(spark, queries, "srcId")
-    val c = toMl(spark, corpus, "dstId")
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(cfg.bucketLength).setNumHashTables(cfg.numHashTables)
-      .setSeed(cfg.seed.toInt).setInputCol("features").setOutputCol("hashes")
-    val model = lsh.fit(c)
-
-    val bucketOf = udf((v: MlVector) => v(0).toLong)
-    def bucketed(df: DataFrame, idCol: String): DataFrame =
-      model.transform(df)
-        .select(col(idCol), col(s"${idCol}_emb"), posexplode(col("hashes")).as(Seq("table", "h")))
-        .select(col(idCol), col(s"${idCol}_emb"), col("table"), bucketOf(col("h")).as("bucket"))
-
-    val qb = bucketed(q, "srcId")
-    val cb = bucketed(c, "dstId")
-
-    // --- explicit skew handling: salt hot (table,bucket) keys ---
-    val sizes = cb.groupBy("table", "bucket").count()
-      .withColumn("salts", greatest(lit(1), ceil(col("count") / cfg.bucketCap)).cast("int"))
-      .select("table", "bucket", "salts")
-    val qbS = qb.join(broadcast(sizes), Seq("table", "bucket"), "left")
-      .withColumn("salts", coalesce(col("salts"), lit(1)))
-      .withColumn("salt", pmod(hash(col("srcId")), col("salts")))
-    val cbS = cb.join(broadcast(sizes), Seq("table", "bucket"), "left")
-      .withColumn("salts", coalesce(col("salts"), lit(1)))
-      .withColumn("salt", explode(sequence(lit(0), col("salts") - 1)))
-
-    val pairs = qbS.join(cbS, Seq("table", "bucket", "salt"))
-      .select(col("srcId"), col("srcId_emb"), col("dstId"), col("dstId_emb"))
-      .distinct() // a pair can collide in several hash tables
-
-    // per-source top-k via bounded heap (flatMapGroups — no full sort)
-    pairs.as[(Long, Array[Float], Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (src, it) =>
-        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(x => (-x._1, -x._2)))
-        it.foreach { case (_, qe, dst, de) =>
-          val s = Embedder.dot(qe, de)
-          if (heap.size < k) heap.enqueue((s, dst))
-          else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, dst)) }
-        }
-        val ranked: Seq[(Double, Long)] = heap.dequeueAll.reverse.toSeq
-        ranked.zipWithIndex.map { case ((s, id), r) => Candidate(src, id, s, r + 1) }
-      }
-  }
-}

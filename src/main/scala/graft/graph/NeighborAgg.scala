@@ -115,14 +115,17 @@ object NeighborAgg {
       .select(col("center"), col("kg"), col("cemb"), col("nembs"))
       .as[(Long, Int, Array[Float], Seq[Array[Float]])]
       .map { case (id, kg, cemb, nembs) =>
-        val rows = new Array[Array[Float]](Dims.NeighborSize)
-        rows(0) = cemb
+        // flat row-major block: center row 0, then ordered neighbors;
+        // no padding rows materialized (validLen carries the shape)
+        val n = math.min(nembs.length + 1, Dims.NeighborSize)
+        val flat = new Array[Float](n * dim)
+        System.arraycopy(cemb, 0, flat, 0, dim)
         var i = 1
-        while (i < Dims.NeighborSize) {
-          rows(i) = if (i - 1 < nembs.length) nembs(i - 1) else new Array[Float](dim)
+        while (i < n) {
+          System.arraycopy(nembs(i - 1), 0, flat, i * dim, dim)
           i += 1
         }
-        NeighborBlock(id, kg, rows, math.min(nembs.length + 1, Dims.NeighborSize))
+        NeighborBlock(id, kg, flat, n)
       }
   }
 }

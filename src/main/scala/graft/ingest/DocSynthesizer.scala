@@ -36,9 +36,15 @@ final case class SynthConfig(
 object DocSynthesizer {
   val Kg2Base = 1000000L
 
+  /** 48 syllables ≈ the surface entropy of real DBP15K URL names; a
+    * smaller alphabet collapses the char-gram feature space and makes
+    * every entity near every other (which also degenerates LSH). */
   private val syllables = Array(
     "ka", "mi", "to", "ra", "ne", "su", "lo", "vi", "da", "pe",
-    "ru", "sha", "ben", "tor", "gal", "wen", "zu", "fa", "hi", "om")
+    "ru", "sha", "ben", "tor", "gal", "wen", "zu", "fa", "hi", "om",
+    "qua", "jin", "xel", "bro", "tam", "ves", "nok", "lyr", "pim", "gos",
+    "dri", "fex", "hul", "cam", "sib", "rot", "wul", "yan", "kez", "pol",
+    "mur", "tis", "vob", "nag", "lef", "dus", "rik", "jom")
 
   /** Base (KG1) surface form of entity i: 2–3 pseudo-word tokens joined by
     * '_' so mentions are single whitespace tokens (unambiguous grammar). */

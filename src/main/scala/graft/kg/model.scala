@@ -50,8 +50,16 @@ case class Emb(id: Long, emb: Array[Float])
   * (reference loader/DBP15KRawNeighbors.py:66-82): row 0 = center
   * embedding, rows 1..validLen-1 = distinct 1-hop neighbor embeddings in
   * first-seen order, truncated to `NeighborSize`. The star adjacency is
-  * fully derived from validLen, so it is never materialized. */
-case class NeighborBlock(id: Long, kg: Int, emb: Array[Array[Float]], validLen: Int)
+  * fully derived from validLen, so it is never materialized.
+  *
+  * `emb` is ROW-MAJOR FLAT (validLen × dim floats, no padding rows):
+  * a flat primitive array encodes ~10× faster than nested arrays under
+  * Tungsten and shrinks shuffle bytes by the padding fraction. */
+case class NeighborBlock(id: Long, kg: Int, emb: Array[Float], validLen: Int) {
+  def dim: Int = emb.length / validLen
+  /** row i as a view-copy (kernels index flat; this is for tests). */
+  def row(i: Int): Array[Float] = java.util.Arrays.copyOfRange(emb, i * dim, (i + 1) * dim)
+}
 
 /** Scored alignment candidate (after top-k similarity join). */
 case class Candidate(srcId: Long, dstId: Long, score: Double, rank: Int)

@@ -1,0 +1,49 @@
+package graft
+
+import graft.kg._
+import graft.align.{GatKernel, MoCoTrainer, MoCoConfig}
+import graft.graph.NeighborAgg
+import graft.embed.{Embedder, EmbedderConfig}
+import graft.ingest.{DocSynthesizer, SynthConfig}
+
+/** MoCo machinery gates: the partition-local negative-queue training
+  * loop runs, produces a finite loss, picks an alpha from the grid, and
+  * is deterministic across partitionings (content-derived batch order —
+  * SURVEY.md §7.5 item 2). */
+class MoCoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def blocks(parts: Int) = {
+    val synth = SynthConfig(entitiesPerKg = 120)
+    val embedCfg = EmbedderConfig(dim = 32)
+    val ents = DocSynthesizer.entities(spark, synth)
+    val triples = DocSynthesizer.goldTriples(spark, synth, 1)
+      .union(DocSynthesizer.goldTriples(spark, synth, 2))
+    val withSeq = triples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
+    val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
+    val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents)
+    NeighborAgg.blocks(spark, ordered,
+      Embedder.embedEntities(spark, ents, embedCfg), ents, 32).repartition(parts)
+  }
+
+  test("MoCo epoch: runs the queue discipline, returns grid alpha + finite loss") {
+    val cfg = MoCoConfig(batchSize = 8, queueLen = 4, epochs = 1)
+    val w = GatKernel.initWeights(32)
+    val (alpha, loss) = MoCoTrainer.epoch(spark, blocks(4), w, cfg)
+    assert(cfg.alphaGrid.contains(alpha))
+    assert(!loss.isNaN && loss >= 0.0 && loss != Double.MaxValue,
+      s"queue must fill and produce a real NCE loss, got $loss")
+  }
+
+  test("MoCo encode is deterministic and normalized") {
+    val w = GatKernel.initWeights(32).withAlpha(0.3f)
+    val a = MoCoTrainer.encode(spark, blocks(3), w).collect().sortBy(_.id)
+    val b = MoCoTrainer.encode(spark, blocks(11), w).collect().sortBy(_.id)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.id == y.id && x.emb.sameElements(y.emb))
+    }
+    val n = math.sqrt(a.head.emb.map(v => v.toDouble * v).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+  }
+}

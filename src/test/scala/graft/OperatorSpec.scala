@@ -1,0 +1,135 @@
+package graft
+
+import graft.kg._
+import graft.graph.{Edge, OrderedDedupAgg, NeighborAgg}
+import graft.embed.{Embedder, EmbedderConfig}
+import graft.align.{GatKernel, MoCoTrainer, MoCoConfig}
+import graft.candidates.{ExactTopK, LshTopK}
+import graft.canon.ConnectedComponents
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+/** Per-operator unit/property tests (SURVEY.md §5 engine test strategy). */
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------- A1 ordered-dedup aggregator laws ----------
+
+  test("OrderedDedupAgg: first-seen order, dedup by min seq, truncation") {
+    val edges = Seq(
+      Edge(1, "b", 20, 5), Edge(1, "a", 10, 1), Edge(1, "b", 20, 0),
+      Edge(1, "c", 30, 3), Edge(1, "d", 40, 9), Edge(1, "e", 50, 7))
+      .toDS()
+    val out = edges.groupByKey(_.center)
+      .agg(new OrderedDedupAgg(3).toColumn.name("ns")).collect().head._2
+    // min-seq order: b(0), a(1), c(3) — d/e pruned by limit 3
+    assert(out.map(_._1) == Seq("b", "a", "c"))
+  }
+
+  test("OrderedDedupAgg: merge is partition-order invariant (property)") {
+    val rnd = new scala.util.Random(37)
+    val edges = (0 until 300).map { i =>
+      Edge(1, s"n${rnd.nextInt(40)}", rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong)
+    }
+    def run(parts: Int): Seq[String] =
+      edges.toDS().repartition(parts).groupByKey(_.center)
+        .agg(new OrderedDedupAgg(19).toColumn.name("ns")).collect().head._2.map(_._1)
+    // sequential oracle: dedup by (minSeq, id), sort, take 19
+    val expected = edges.groupBy(_.neighbor).map { case (n, es) =>
+      (n, es.map(e => (e.seq, e.neighborId)).min)
+    }.toSeq.sortBy(_._2).take(19).map(_._1)
+    assert(run(1) == expected)
+    assert(run(7) == expected)
+    assert(run(32) == expected)
+  }
+
+  // ---------- F2/A3: embedder ----------
+
+  test("embedder: deterministic, L2-normalized, alignment-separating") {
+    val cfg = EmbedderConfig(dim = 64)
+    val a = Embedder.embedOne(cfg, "kamito_ralox42")
+    val b = Embedder.embedOne(cfg, "kamito_ralox42")
+    assert(a.sameElements(b))
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // aligned-style pair (small perturbation) beats unrelated pair
+    val near = Embedder.embedOne(cfg, "kemito_ralox42_l2")
+    val far = Embedder.embedOne(cfg, "shazu_wenbe_hipex7")
+    assert(Embedder.dot(a, near) > Embedder.dot(a, far) + 0.2)
+  }
+
+  // ---------- F5: GAT kernel ----------
+
+  test("GAT kernel: normalized output; neighbor genuinely shifts it") {
+    val dim = 8
+    val w = GatKernel.initWeights(dim)
+    val center = Embedder.l2normalize(Array.tabulate(dim)(i => (i + 1).toFloat))
+    val n1 = Embedder.l2normalize(Array.tabulate(dim)(i => (dim - i).toFloat))
+    val flat = center ++ n1
+    val out = GatKernel.forward(w, NeighborBlock(1, 1, flat, 2))
+    val norm = math.sqrt(out.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(!out.sameElements(center), "neighbor must influence the output")
+  }
+
+  test("GAT kernel: singleton block returns normalized center") {
+    val dim = 8
+    val w = GatKernel.initWeights(dim)
+    val center = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val out = GatKernel.forward(w, NeighborBlock(1, 1, center.clone(), 1))
+    val expect = Embedder.l2normalize(center.clone())
+    assert(out.zip(expect).forall { case (x, y) => math.abs(x - y) < 1e-6 })
+  }
+
+  // ---------- T1/F4: MoCo NCE loss ----------
+
+  test("NCE loss: lower when positive is closer than negatives") {
+    val q = Array(1f, 0f, 0f, 0f)
+    val pos = Array(0.95f, 0.05f, 0f, 0f)
+    val negs = Seq(Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val good = MoCoTrainer.nceLoss(q, Embedder.l2normalize(pos.clone()), negs, 0.08)
+    val bad = MoCoTrainer.nceLoss(q, negs.head, Seq(Embedder.l2normalize(pos.clone())), 0.08)
+    assert(good < bad)
+    assert(good >= 0.0)
+  }
+
+  // ---------- J4: LSH recall vs exact oracle ----------
+
+  private def lshRecall(surfaceNoise: Double): Double = {
+    val cfg = EmbedderConfig(dim = 48)
+    val synth = graft.ingest.SynthConfig(entitiesPerKg = 150, surfaceNoise = surfaceNoise)
+    val ents = graft.ingest.DocSynthesizer.entities(spark, synth)
+    val embs = Embedder.embedEntities(spark, ents, cfg)
+    val q = embs.filter(col => col.id < 1000000L)
+    val c = embs.filter(col => col.id >= 1000000L)
+    val exact1 = ExactTopK.topK(spark, q, c, 1).filter(_.rank == 1)
+      .collect().map(x => (x.srcId, x.dstId)).toSet
+    val lsh5 = LshTopK.topK(spark, q, c, 5).collect()
+      .map(x => (x.srcId, x.dstId)).toSet
+    exact1.count(lsh5.contains).toDouble / exact1.size
+  }
+
+  test("LSH top-k recall@5 >= 0.9 of exact top-1 (fr_en-like fixture)") {
+    val r = lshRecall(0.05)
+    assert(r >= 0.9, s"LSH recall of exact top-1 within its top-5: $r")
+  }
+
+  test("LSH top-k recall@5 >= 0.6 on the adversarial low-entropy fixture") {
+    // zh_en-like noise puts aligned pairs nearly as far apart as the
+    // bulk spread — a worst case for any blocking scheme; the exact
+    // path remains the oracle there (SURVEY.md §7.5 item 6)
+    val r = lshRecall(0.15)
+    assert(r >= 0.6, s"adversarial recall: $r")
+  }
+
+  // ---------- CC: known component structure ----------
+
+  test("connected components: chains and isolates resolve to min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("a", "b")
+    val got = ConnectedComponents.run(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L && got(23L) == 20L)
+  }
+}
