@@ -25,13 +25,29 @@ object Extraction {
   def kgOf(docId: String): Int =
     if (docId.startsWith("kg1")) 1 else if (docId.startsWith("kg2")) 2 else 0
 
-  /** Explode spans keeping (doc_id, spanIdx, kind, text, media_ref, offset).
-    * Column pruning: downstream text-only consumers never read media_ref. */
+  /** Explode spans keeping (doc_id, spanIdx, kind, text, media_ref, offset). */
   def explodeSpans(docs: Dataset[Doc]): DataFrame =
     docs.select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
       .select(col("doc_id"), col("span_idx"),
         col("span.kind").as("kind"), col("span.text").as("text"),
         col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
+
+  /** Text spans only, with media payloads pruned AT THE SCAN.
+    * Catalyst's generator pruning cannot see through posexplode here
+    * (the generator guard references the whole array), and lambda field
+    * accesses inside transform() don't qualify for SchemaPruning either
+    * — both leave ReadSchema at the full span struct, dragging media
+    * payloads through the scan (at 100 TB that is most of the bytes).
+    * `spans.kind` / `spans.text` compile to GetArrayStructFields, which
+    * SchemaPruning DOES push into the parquet ReadSchema (asserted by
+    * PlanSpec). */
+  def textSpans(docs: Dataset[Doc]): DataFrame =
+    docs.select(col("doc_id"),
+        col("spans.kind").as("kinds"), col("spans.text").as("texts"))
+      .select(col("doc_id"), posexplode(arrays_zip(col("kinds"), col("texts"))).as(Seq("span_idx", "z")))
+      .select(col("doc_id"), col("span_idx"),
+        col("z.kinds").as("kind"), col("z.texts").as("text"))
+      .filter(col("kind") === "text")
 
   /** Parse one text-span into triples. Pure, order-preserving. */
   def parseSpan(text: String): Seq[(String, String, String)] = {
@@ -55,8 +71,7 @@ object Extraction {
     * loader/DBP15KRawNeighbors.py:25-45; SURVEY.md §7.5). */
   def rawTriples(spark: SparkSession, docs: Dataset[Doc]): Dataset[RawTriple] = {
     import spark.implicits._
-    explodeSpans(docs)
-      .filter(col("kind") === "text")
+    textSpans(docs)
       .select("doc_id", "span_idx", "text")
       .as[(String, Int, String)]
       .flatMap { case (docId, spanIdx, text) =>

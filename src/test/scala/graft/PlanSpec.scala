@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan hygiene gates: filters and projections must reach the
+  * parquet scan (PushedFilters / ReadSchema), small dims must broadcast
+  * — the plans we'd want at 100 TB, asserted so regressions fail CI. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan+filter+project: predicate and column pruning reach parquet") {
+    val plan = planOf(Queries.qScanFilterProject(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("dict join broadcasts the small side") {
+    val plan = planOf(Queries.qDictJoin(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join:\n$plan")
+  }
+
+  test("semi join is planned as a (broadcast) semi join, not inner+distinct") {
+    val plan = planOf(Queries.qSemiJoin(spark, dir))
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+  }
+
+  test("span explode over a parquet doc table: codegen'd, nested schema pruned") {
+    import spark.implicits._
+    val docs = graft.ingest.DocSynthesizer.docs(spark, graft.ingest.SynthConfig(entitiesPerKg = 10))
+    val path = java.nio.file.Files.createTempDirectory("graft_docs").toString + "/docs"
+    docs.write.mode("overwrite").parquet(path)
+    val fromTable = spark.read.parquet(path).as[graft.kg.Doc]
+    val textOnly = graft.extract.Extraction.textSpans(fromTable)
+      .select("doc_id", "text")
+    val plan = planOf(textOnly)
+    // whole-stage codegen covers the explode+filter+project chain
+    // (the simpleString marks codegen'd operators with "*(n)")
+    assert(plan.contains("*("), s"explode chain not codegen'd:\n$plan")
+    // media payloads never read from parquet
+    assert(!plan.contains("media_ref"), s"media payload not pruned from scan:\n$plan")
+  }
+}

@@ -58,4 +58,18 @@ class TableIOSpec extends SparkTestBase {
     // resume did not create extra snapshots
     assert(TableIO.latestSnapshotId(s"$dir/id_triples").contains(0L))
   }
+
+  test("TSV dictionary sink round-trips sorted (reference at-rest format)") {
+    import org.apache.spark.sql.types._
+    val base = tmp() + "/dict"
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "label")
+    graft.tableio.TsvSink.write(df, base, orderBy = Some("id"), golden = true)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("label", StringType)))
+    val back = graft.tableio.TsvSink.read(spark, base, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.sorted.sameElements(Array((1L, "a"), (2L, "b"), (3L, "c"))))
+    // golden mode: exactly one part file
+    val parts = new java.io.File(base).listFiles.filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+  }
 }
