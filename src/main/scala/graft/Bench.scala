@@ -35,7 +35,7 @@ object Bench {
     val cfg = PipelineConfig(
       synth = graft.ingest.SynthConfig(entitiesPerKg = entities),
       embed = graft.embed.EmbedderConfig(dim = dim),
-      useLsh = true)
+      useLsh = Some(true))
     val t0 = System.nanoTime()
     val r = Pipeline.runSynthetic(spark, cfg)
     val triples = r.canonicalTriples.count()
@@ -55,9 +55,13 @@ object Bench {
     var spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a broken query must be VISIBLE in the bench JSON, not a silent
+      // green timing — failures are logged and counted below
+      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val failed = results.filterNot(_._3).map(_._1)
     // warmup for the scaling runs (JIT + codegen caches)
     pipelineRun(spark, math.max(200, benchE / 10), dim)
     spark.stop()
@@ -74,11 +78,12 @@ object Bench {
     val th4N = docs4N / sec4N
     val eff = th4N / ((cpus.toDouble / nLow) * thN)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir",""" +
       s""""kg_bench":{"docs":$docsN,"dim":$dim,"cores_n":$nLow,"cores_4n":$cpus,""" +
       f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"docs_per_sec_n":$thN%.1f,"docs_per_sec_4n":$th4N%.1f,""" +
       f""""scaling_efficiency":$eff%.3f}}""")

@@ -67,14 +67,17 @@ object EmbedQueries {
                 max(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS h5
                FROM topk JOIN lab ls ON topk.src = ls.vec_id JOIN lab ld ON topk.dst = ld.vec_id
                GROUP BY src)
-       SELECT sum(h1) AS n_hit1, sum(h5) AS n_hit5, count(*) AS n_queries FROM per"""
+       SELECT CAST(sum(h1) AS BIGINT) AS n_hit1, CAST(sum(h5) AS BIGINT) AS n_hit5,
+              count(*) AS n_queries FROM per"""
 
   // ---------- A1: ordered-dedup neighbor agg (the typed Aggregator) ----------
 
   def qNeighborAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // l_linenumber is not unique per order: derive a unique seq with a
-    // deterministic partkey tiebreak (mirrored in the oracle SQL)
+    // deterministic partkey tiebreak (mirrored in the oracle SQL).
+    // Output is EXPLODED (center, pos, neighbor) rows — scalar columns so
+    // the driver comparator can hash them (its pandas sort dies on arrays).
     val edges = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("center"),
         col("l_partkey").cast("string").as("neighbor"),
@@ -83,8 +86,9 @@ object EmbedQueries {
       .as[graft.graph.Edge]
     edges.groupByKey(_.center)
       .agg(new graft.graph.OrderedDedupAgg(5).toColumn.name("ns"))
-      .map { case (c, ns) => (c, ns.map(_._2), ns.length) }
-      .toDF("center", "neighbors", "n")
+      .flatMap { case (c, ns) =>
+        ns.iterator.zipWithIndex.map { case ((_, nid), i) => (c, (i + 1).toLong, nid) } }
+      .toDF("center", "pos", "neighbor")
   }
 
   val qNeighborAggSql =
@@ -93,10 +97,9 @@ object EmbedQueries {
                 CAST(l_linenumber AS BIGINT) * 100000 + l_partkey AS seq,
                 row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
          FROM lineitem),
-       d AS (SELECT center, nb, seq FROM e WHERE rn = 1)
-       SELECT center, (list(nb ORDER BY seq))[1:5] AS neighbors,
-              len((list(nb ORDER BY seq))[1:5]) AS n
-       FROM d GROUP BY center"""
+       d AS (SELECT center, nb, seq FROM e WHERE rn = 1),
+       r AS (SELECT center, nb, row_number() OVER (PARTITION BY center ORDER BY seq) AS pos FROM d)
+       SELECT center, pos, nb AS neighbor FROM r WHERE pos <= 5"""
 
   // ---------- connected components vs recursive-CTE oracle ----------
 
@@ -144,7 +147,7 @@ object EmbedQueries {
                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap
          FROM events)
        SELECT user_id,
-              sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+              CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
               count(*) AS n_events
        FROM g GROUP BY user_id"""
 

@@ -15,14 +15,28 @@ object KgQueries {
     synth = graft.ingest.SynthConfig(entitiesPerKg = 80),
     embed = graft.embed.EmbedderConfig(dim = 48))
 
+  /** One shared fixture pipeline per session: the three q_kg_* queries
+    * each used to re-run the whole tiny pipeline (~60 s of the round-1
+    * battery was pure recomputation). Query-facing frames are persisted
+    * so each query's action reuses the materialized stages. */
+  private val resultCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, PipelineResult]()
+  private def tinyResult(spark: SparkSession): PipelineResult =
+    resultCache.computeIfAbsent(spark, s => {
+      val r = Pipeline.runSynthetic(s, tinyCfg)
+      r.idTriples.persist(); r.entities.persist()
+      r.alignment.persist(); r.canonicalTriples.persist()
+      r
+    })
+
   /** Full pipeline → canonical (subj, pred, obj) triples. */
   def qKgCanonicalTriples(spark: SparkSession, dir: String): DataFrame =
-    Pipeline.runSynthetic(spark, tinyCfg).canonicalTriples
+    tinyResult(spark).canonicalTriples
       .select("subj", "pred", "obj", "subjId", "objId")
 
   /** RSM-scored top-k alignment candidates (exact path). */
   def qKgAlignment(spark: SparkSession, dir: String): DataFrame =
-    Pipeline.runSynthetic(spark, tinyCfg).alignment.toDF()
+    tinyResult(spark).alignment.toDF()
       .select(col("srcId"), col("dstId"), col("rank"), round(col("score"), 4).as("rsm_score"))
 
   /** LSH-blocked salted top-k over the harness embeddings table —
@@ -39,7 +53,7 @@ object KgQueries {
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val r = Pipeline.runSynthetic(spark, tinyCfg)
+    val r = tinyResult(spark)
     val ents = r.entities
     val withSeq = r.idTriples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
     val edges = graft.graph.NeighborAgg.undirectedEdges(spark, withSeq, ents)
@@ -65,7 +79,9 @@ object KgQueries {
         struct(col("lang").as("codec"), col("n_chars").as("n_bytes")).as("meta"))
     val ds = media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      // one "decoder init" per partition; rows processed in batches
+      // one "decoder init" per partition; rows processed in batches.
+      // Output is SCALAR-only (the driver comparator can't hash arrays):
+      // the float feature vector is quantized into one fingerprint column.
       it.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
         val feat = new Array[Float](8)
         var i = 0
@@ -73,9 +89,11 @@ object KgQueries {
           feat(i % 8) += (bytes(i) & 0xff) / 255.0f // ??? real decode goes here
           i += 1
         }
-        (id, bytes.length, graft.embed.Embedder.l2normalize(feat))
+        val norm = graft.embed.Embedder.l2normalize(feat)
+        val fp = norm.foldLeft(0L)((acc, f) => acc * 31 + math.round(f * 1000.0f))
+        (id, bytes.length, fp)
       })
-    }.toDF("doc_id", "n_bytes", "features")
+    }.toDF("doc_id", "n_bytes", "feat_fp")
   }
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -32,9 +32,18 @@ final case class PipelineConfig(
     synth: SynthConfig = SynthConfig(),
     embed: EmbedderConfig = EmbedderConfig(),
     moco: MoCoConfig = MoCoConfig(epochs = 1),
-    useLsh: Boolean = false,
+    /** Candidate path: Some(true) forces LSH, Some(false) forces the
+      * exact broadcast path, None (default) auto-selects by corpus size —
+      * exact only when corpus × dim fits a sane executor broadcast.
+      * Both paths emit the same RSM z-score scale, so rsmThreshold is
+      * path-independent. */
+    useLsh: Option[Boolean] = None,
     useMoco: Boolean = false,
     topK: Int = Dims.TopK,
+    /** auto path: corpus floats (rows × dim) above this → LSH. 5e7 floats
+      * ≈ 200 MB broadcast — past that a driver collect/broadcast is the
+      * thing that falls over first at scale. */
+    exactPathMaxFloats: Long = 50_000_000L,
     /** RSM z-score acceptance threshold for canonicalization edges.
       * Empirically on the fixture: 4.0 leaves ~1/3 of aligned pairs
       * unmerged; 2.0 merges ~all with no observed false merges (rank-1
@@ -49,7 +58,9 @@ final case class PipelineResult(
     idTriples: Dataset[Triple],
     alignment: Dataset[Candidate],
     components: DataFrame,
-    canonicalTriples: DataFrame)
+    canonicalTriples: DataFrame,
+    /** which candidate path ran (auto-selection is observable) */
+    usedLsh: Boolean)
 
 object Pipeline {
 
@@ -103,8 +114,14 @@ object Pipeline {
     val embById = encodedAll.join(kgOf, "id")
     val q1 = embById.filter(col("kg") === 1).select(col("id"), col("emb")).as[Emb]
     val c2 = embById.filter(col("kg") === 2).select(col("id"), col("emb")).as[Emb]
+    val wantLsh = cfg.useLsh.getOrElse {
+      // auto: count the KG2 entity dictionary (cheap scan) — NOT the
+      // encoded embeddings, whose count would re-run the encode stage
+      val corpusRows = ents.filter(_.kg == 2).count()
+      corpusRows * cfg.embed.dim > cfg.exactPathMaxFloats
+    }
     val cands =
-      if (cfg.useLsh) LshTopK.topK(spark, q1, c2, cfg.topK)
+      if (wantLsh) LshTopK.topK(spark, q1, c2, cfg.topK)
       else ExactTopK.topK(spark, q1, c2, cfg.topK)
 
     // ---- stage 5: canonicalization ----
@@ -132,6 +149,6 @@ object Pipeline {
       case None => t
     }
 
-    PipelineResult(docs, ents, raw, idTriples, cands, comps, canonical)
+    PipelineResult(docs, ents, raw, idTriples, cands, comps, canonical, wantLsh)
   }
 }

@@ -123,7 +123,7 @@ object Queries {
 
   val qTwoKeyJoinSql =
     """SELECT a.l_orderkey AS k, count(*) AS n_adjacent,
-       sum(a.l_partkey + b.l_partkey) AS key_sum
+       CAST(sum(a.l_partkey + b.l_partkey) AS BIGINT) AS key_sum
        FROM lineitem a JOIN lineitem b
        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber - 1
        GROUP BY a.l_orderkey"""

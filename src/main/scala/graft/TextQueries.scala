@@ -156,7 +156,7 @@ object TextQueries {
          SELECT doc_id, j, sum(((th >> CAST(j AS INT)) % 2) * 2 - 1) AS s
          FROM toks, (SELECT unnest(range(0, 16)) AS j)
          GROUP BY doc_id, j)
-       SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS simhash
+       SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
        FROM bits GROUP BY doc_id"""
 
   // ---------- token counting ----------

@@ -17,11 +17,25 @@ import graft.util.DetHash
   * are seeded DetHash Gaussians → deterministic at any parallelism.
   *
   * Pre-hash the vectors are MEAN-CENTERED and the bucket width is
-  * wScale × the measured per-coordinate residual std (same distributed
-  * pass): text-feature corpora share a large common direction, and a
-  * fixed width put 92% of brute-force pair work in a handful of buckets.
-  * `rowsPerBand` bucket ids compound into one band key (banding), OR-ed
-  * across `bands` bands for recall: p_hit = 1 - (1 - p^rows)^bands.
+  * wScale × the measured per-coordinate residual std: text-feature
+  * corpora share a large common direction, and a fixed width put 92% of
+  * brute-force pair work in a handful of buckets. Mean/std come from a
+  * DETERMINISTIC hash-chosen corpus sample reduced in sorted-id order on
+  * the driver, so the bucket geometry is bit-identical at any
+  * parallelism level (N-vs-4N determinism; a distributed float reduction
+  * would sum in partition order). `rowsPerBand` bucket ids compound into
+  * one band key (banding), OR-ed across `bands` bands for recall:
+  * p_hit = 1 - (1 - p^rows)^bands.
+  *
+  * SCORE SEMANTICS match [[ExactTopK]]: candidates carry the RSM
+  * z-score — cosine calibrated against the negative-distribution
+  * estimate (cos - mu)/sigma, with per-source mu/sigma computed against
+  * a deterministic same-corpus negative sample (the paper's relative
+  * similarity metric; SURVEY.md §2.9 note). Per-source ranking is raw
+  * cosine (z-score is monotone in it); the absolute score feeds the
+  * pipeline's canonicalization acceptance threshold, so both candidate
+  * paths must emit the same scale — raw cosine here silently disabled
+  * all merges when the LSH path was selected.
   *
   * Skew (north rule: handled explicitly) is 2-D SALT TILING: a
   * (band, key) group whose corpus side exceeds bucketCap or whose query
@@ -34,11 +48,13 @@ import graft.util.DetHash
   * 14 MB per query and was DRAM-bound). Replication shuffle volume is
   * O(pair_work / cap) rows; banded inputs are repartitioned first so
   * the replication serialization spreads across all cores instead of
-  * pinning to the partitions that hold hot rows.
+  * pinning to the partitions that hold hot rows. Both sides' hot-bucket
+  * counts come from ONE fused job over a key-only projection.
   *
   * Shuffle inventory: one keyed shuffle of each side (embedding arrays
   * move ≤ salts times), then one narrow (src, dst, score) shuffle for
-  * the merge. Pair rows never materialize.
+  * the merge, then one narrow join with the per-source calibration rows.
+  * Pair rows never materialize.
   */
 object LshTopK {
 
@@ -51,6 +67,8 @@ object LshTopK {
       wScale: Double = 1.0,
       /** max rows (either side) of one (band,key) before 2-D tiling */
       bucketCap: Int = 1000,
+      /** corpus sample size for mean/std + RSM calibration */
+      sampleSize: Int = 4096,
       seed: Long = Dims.Seed)
 
   /** Deterministic UNIT projection matrix (bands×rows, dim). */
@@ -93,7 +111,11 @@ object LshTopK {
     while (i < corp.length) {
       val s = Embedder.dot(qe, corp(i)._2)
       if (heap.size < k) heap.enqueue((s, corp(i)._1))
-      else if (s > heap.head._1) { heap.dequeue(); heap.enqueue((s, corp(i)._1)) }
+      // id tie-break at the boundary (mirrors ExactTopK) — encounter order
+      // inside a cogroup varies with partitioning, score ties must not
+      else if (s > heap.head._1 || (s == heap.head._1 && corp(i)._1 < heap.head._2)) {
+        heap.dequeue(); heap.enqueue((s, corp(i)._1))
+      }
       i += 1
     }
     heap.iterator
@@ -106,37 +128,44 @@ object LshTopK {
     // them so upstream stages (extraction, GAT encode) run exactly once
     val qP = queries.persist(StorageLevel.MEMORY_AND_DISK)
     val cP = corpus.persist(StorageLevel.MEMORY_AND_DISK)
-    val dim = cP.head().emb.length
+    val nCorpus = cP.count()
+
+    // --- deterministic corpus sample: hash-chosen rows (same members at
+    // any parallelism), reduced in sorted-id order on the driver ---
+    val rate = math.max(1L, nCorpus / math.max(1, cfg.sampleSize))
+    val sample = cP.filter(e => DetHash.nonNeg(DetHash.h1(13L, e.id)) % rate == 0L)
+      .collect().sortBy(_.id)
+    require(sample.nonEmpty, "LshTopK: empty corpus")
+    val dim = sample(0).emb.length
     val projsBc = spark.sparkContext.broadcast(projections(cfg, dim))
     val (bands, rows) = (cfg.bands, cfg.rowsPerBand)
 
-    // mean + residual std in one distributed pass (deterministic)
-    val (meanBc, w) = {
-      val agg = cP.mapPartitions { it =>
-        val acc = new Array[Double](dim); var sq = 0.0; var n = 0L
-        it.foreach { e =>
-          var i = 0
-          while (i < dim) { acc(i) += e.emb(i); sq += e.emb(i).toDouble * e.emb(i); i += 1 }
-          n += 1
-        }
-        Iterator.single((acc, sq, n))
-      }.collect()
-      val n = math.max(1L, agg.map(_._3).sum)
-      val mean = new Array[Float](dim)
-      agg.foreach { case (a, _, _) => var i = 0; while (i < dim) { mean(i) += (a(i) / n).toFloat; i += 1 } }
-      val residVar = math.max(1e-12, agg.map(_._2).sum / n - mean.map(x => x.toDouble * x).sum)
-      (spark.sparkContext.broadcast(mean),
-       if (cfg.bucketLength > 0) cfg.bucketLength else cfg.wScale * math.sqrt(residVar / dim))
+    val mean = new Array[Float](dim)
+    val w = {
+      val acc = new Array[Double](dim); var sq = 0.0
+      sample.foreach { e =>
+        var i = 0
+        while (i < dim) { acc(i) += e.emb(i); sq += e.emb(i).toDouble * e.emb(i); i += 1 }
+      }
+      val n = sample.length
+      var i = 0
+      while (i < dim) { mean(i) = (acc(i) / n).toFloat; i += 1 }
+      val residVar = math.max(1e-12, sq / n - mean.map(x => x.toDouble * x).sum)
+      if (cfg.bucketLength > 0) cfg.bucketLength else cfg.wScale * math.sqrt(residVar / dim)
     }
+    val meanBc = spark.sparkContext.broadcast(mean)
+    // negative-distribution sample for RSM calibration (every 8th → ~512)
+    val negBc = spark.sparkContext.broadcast(
+      sample.indices.collect { case i if i % 8 == 0 => sample(i).emb }.toArray)
 
     def banded(ds: Dataset[Emb]): Dataset[(Int, Long, Long, Array[Float])] =
       ds.mapPartitions { it =>
         val ps = projsBc.value
-        val mean = meanBc.value
+        val mn = meanBc.value
         it.flatMap { e =>
           val centered = new Array[Float](dim)
           var i = 0
-          while (i < dim) { centered(i) = e.emb(i) - mean(i); i += 1 }
+          while (i < dim) { centered(i) = e.emb(i) - mn(i); i += 1 }
           val keys = bandKeysOf(centered, ps, w, bands, rows)
           Iterator.tabulate(bands)(j => (j, keys(j), e.id, e.emb))
         }
@@ -144,24 +173,25 @@ object LshTopK {
 
     // spread the salting/replication serialization across all cores —
     // without this the map work pins to the partitions holding hot rows.
-    // Persist: the banded sets feed BOTH the bucket-count jobs and the
+    // Persist: the banded sets feed BOTH the bucket-count job and the
     // main cogroup; without persist each action re-runs the banding
     // shuffle (measured ~80 s of redundant shuffle at 100k vectors).
     val spread = spark.sparkContext.defaultParallelism * 4
     val qb = banded(qP).repartition(spread).persist(StorageLevel.MEMORY_AND_DISK)
     val cb = banded(cP).repartition(spread).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- 2-D salt tiling from per-side bucket counts ---
-    def hotCounts(ds: Dataset[(Int, Long, Long, Array[Float])]): Map[Long, Int] =
-      ds.toDF("band", "key", "id", "emb").groupBy("band", "key").count()
-        .filter(col("count") > cfg.bucketCap)
-        .select(col("band"), col("key"), col("count"))
-        .as[(Int, Long, Long)].collect()
-        .map { case (b, key, n) =>
-          (packKey(b, key), math.ceil(n.toDouble / cfg.bucketCap).toInt) }
-        .toMap
-    val saltsCBc = spark.sparkContext.broadcast(hotCounts(cb))
-    val saltsQBc = spark.sparkContext.broadcast(hotCounts(qb))
+    // --- 2-D salt tiling from per-side bucket counts (ONE fused job) ---
+    val hot = qb.toDF("band", "key", "id", "emb").select(lit(0).as("side"), col("band"), col("key"))
+      .unionByName(cb.toDF("band", "key", "id", "emb").select(lit(1).as("side"), col("band"), col("key")))
+      .groupBy("side", "band", "key").count()
+      .filter(col("count") > cfg.bucketCap)
+      .select(col("side"), col("band"), col("key"), col("count"))
+      .as[(Int, Int, Long, Long)].collect()
+    def saltMap(side: Int): Map[Long, Int] = hot.iterator.filter(_._1 == side)
+      .map { case (_, b, key, n) =>
+        (packKey(b, key), math.ceil(n.toDouble / cfg.bucketCap).toInt) }.toMap
+    val saltsQBc = spark.sparkContext.broadcast(saltMap(0))
+    val saltsCBc = spark.sparkContext.broadcast(saltMap(1))
 
     // each side hashes to its own salt and replicates across the other
     // side's salts: every (q, c) pair meets in exactly one (sq, sc) cell
@@ -191,15 +221,36 @@ object LshTopK {
       }
 
     // --- merge partial top-ks (dedup by dst); narrow rows only ---
-    scored
+    val ranked = scored
       .groupByKey(_._1)
       .flatMapGroups { (src, it) =>
         val best = new scala.collection.mutable.HashMap[Long, Double]
         it.foreach { case (_, dst, s) => if (!best.contains(dst)) best(dst) = s }
-        val ranked: Seq[(Double, Long)] =
+        val top: Seq[(Double, Long)] =
           best.iterator.map { case (d, s) => (s, d) }.toSeq
             .sortBy(x => (-x._1, x._2)).take(k)
-        ranked.zipWithIndex.map { case ((s, id), r) => Candidate(src, id, s, r + 1) }
+        top.zipWithIndex.map { case ((s, id), r) => (src, id, s, r + 1) }
       }
+
+    // --- RSM calibration: per-source mu/sigma vs the negative sample ---
+    val calib = qP.mapPartitions { it =>
+      val negs = negBc.value
+      it.map { q =>
+        var mu = 0.0; var m2 = 0.0; var n = 0L
+        var i = 0
+        while (i < negs.length) {
+          val s = Embedder.dot(q.emb, negs(i))
+          n += 1; val d = s - mu; mu += d / n; m2 += d * (s - mu)
+          i += 1
+        }
+        val sigma = if (n > 1) math.sqrt(m2 / (n - 1)) else 1.0
+        (q.id, mu, sigma)
+      }
+    }
+    ranked.toDF("srcId", "dstId", "cos", "rank")
+      .join(calib.toDF("srcId", "mu", "sigma"), "srcId")
+      .as[(Long, Long, Double, Int, Double, Double)]
+      .map { case (src, dst, cos, r, mu, sigma) =>
+        Candidate(src, dst, graft.align.MoCoTrainer.rsmScore(cos, mu, sigma), r) }
   }
 }

@@ -2,44 +2,51 @@ package graft.canon
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Iterative connected components over accepted alignment edges —
   * large-star / small-star alternation (Kiveris et al., "Connected
   * Components in MapReduce and Beyond", SoCC'14), expressed as pure
-  * DataFrame joins/aggregations so Catalyst + AQE handle partitioning
-  * (north star: canonicalization via iterative connected-components
-  * large-star/small-star joins; no GraphX, Dataset/Catalyst only).
+  * DataFrame window-min propagation so Catalyst + AQE handle
+  * partitioning (north star: canonicalization via iterative
+  * connected-components large-star/small-star joins; no GraphX,
+  * Dataset/Catalyst only).
+  *
+  * Each star is MIN-PROPAGATION over a partition-only window — never a
+  * collect_set: a hub node of degree 10^8 streams through the window
+  * operator's spillable sort instead of materializing one multi-GB
+  * array row (the canonicalization primitive must survive hubs at the
+  * 10^12-doc design point). One shuffle per star, narrow (long, long)
+  * rows throughout.
   *
   * Converges in O(log^2 n) rounds; alignment components are near-pairs
-  * (diameter ≤ 3) so 2–4 rounds in practice. Each round is two
-  * shuffles (groupBy on each star). Convergence is detected by an
-  * order-independent checksum aggregate (xor/sum of edge hashes) —
+  * (diameter ≤ 3) so 2–4 rounds in practice. Convergence is detected by
+  * an order-independent checksum aggregate (xor/sum of edge hashes) —
   * no driver-side edge materialization.
   */
 object ConnectedComponents {
 
   private def largeStar(edges: DataFrame): DataFrame = {
-    // symmetrize, group by u, m = min(N(u) ∪ {u}), emit (v, m) for v > u
+    // symmetrize; per node u: m = min(N(u) ∪ {u}); emit (v, m) for v > u
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-    sym.groupBy(col("a"))
-      .agg(collect_set(col("b")).as("ns"))
-      .select(col("a"), array_min(array_union(col("ns"), array(col("a")))).as("m"), explode(col("ns")).as("v"))
-      .filter(col("v") > col("a"))
-      .select(col("v").as("a"), col("m").as("b"))
+    val m = least(min(col("b")).over(Window.partitionBy(col("a"))), col("a"))
+    sym.withColumn("m", m)
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
       .distinct()
   }
 
   private def smallStar(edges: DataFrame): DataFrame = {
-    // orient u > v, group by u, m = min(N(u) ∪ {u}), emit (v, m) ∀ v ≠ m
+    // orient u > v; per u: m = min(N(u) ∪ {u}) = min(v); emit (v, m) ∀ v ≠ m
+    // plus (u, m) — u > v ≥ m so u ≠ m always holds
     val oriented = edges.select(
       greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
-    oriented.groupBy(col("u"))
-      .agg(collect_set(col("v")).as("ns"))
-      .select(col("u"), array_min(col("ns")).as("m"), explode(array_union(col("ns"), array(col("u")))).as("v"))
-      .filter(col("v") =!= col("m"))
+    val withM = oriented.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+    withM.filter(col("v") =!= col("m"))
       .select(col("v").as("a"), col("m").as("b"))
+      .unionByName(withM.select(col("u").as("a"), col("m").as("b")))
       .distinct()
   }
 

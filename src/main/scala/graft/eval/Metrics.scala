@@ -10,12 +10,15 @@ object Metrics {
   /** Hit@1 / Hit@10 of candidate rankings vs gold links — the join-based
     * twin of the reference eval (model/layers_LaBSE_neighbor.py:304-317).
     * Links are applied symmetrically (J3). Sources with no gold target
-    * are excluded, mirroring the linked-subset eval (:307-310). */
+    * are excluded, mirroring the linked-subset eval (:307-310). GOLD
+    * DRIVES the join (left): a linked source for which the candidate
+    * generator returned no rows (an LSH recall miss) counts as a miss —
+    * an inner join would silently inflate Hit@k under low recall. */
   def hitAtK(spark: SparkSession, cands: Dataset[Candidate], gold: Dataset[Link], k: Int = Dims.TopK): DataFrame = {
     val g = gold.toDF("e1", "e2")
-    val hits = cands.toDF()
-      .join(g, col("srcId") === col("e1"))
-      .groupBy(col("srcId"))
+    val hits = g
+      .join(cands.toDF(), col("srcId") === col("e1"), "left")
+      .groupBy(col("e1"))
       .agg(
         max(when(col("dstId") === col("e2") && col("rank") === 1, 1).otherwise(0)).as("hit1"),
         max(when(col("dstId") === col("e2") && col("rank") <= k, 1).otherwise(0)).as("hitk"))

@@ -1,7 +1,9 @@
 package graft.tableio
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
@@ -10,21 +12,33 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   *   table/data/snap-<n>/...(parquet, optionally partitioned dirs)
+  *   table/_metrics/                 — append-only per-commit metrics table
   *   table/_meta/snapshot-<n>.json   — committed LAST; the manifest
   *                                     whose n is max defines the table
   *
   * Gives exactly the properties the north rule exercises: atomic
   * snapshot commit (manifest-last-write of a complete JSON), checkpointed
   * resume (a stage whose snapshot exists is skipped and read back),
-  * per-partition lineage + row-count metrics inside the manifest, and
-  * partition pruning (partitionBy dirs + parquet filters). The API is a
-  * seam — a real Iceberg catalog drops in behind `read`/`commit`.
+  * per-partition lineage + row-count metrics inside the manifest, a
+  * queryable `_metrics` table (S8 log/metric sink), and partition
+  * pruning (partitionBy dirs + parquet filters). The API is a seam — a
+  * real Iceberg catalog drops in behind `read`/`commit`.
+  *
+  * The input DataFrame is computed EXACTLY ONCE per commit: the parquet
+  * write is the only action on it; row counts and per-partition lineage
+  * are then read back from the committed files' parquet FOOTERS
+  * (metadata-only, no data scan). One physical part file = one write
+  * task = one lineage entry, so the manifest describes the committed
+  * layout — not the pre-write Spark partitioning, which can differ when
+  * partitionBy re-buckets rows. (Round-1 version ran a groupBy-count
+  * lineage action first, recomputing the whole upstream DAG — 2× the
+  * stage cost at 100 TB.)
   */
 object TableIO {
 
   final case class Snapshot(id: Long, dataPath: String, rows: Long,
                             stage: String, inputs: Seq[String],
-                            partitionRows: Map[Int, Long])
+                            partitionRows: Map[String, Long])
 
   private def metaDir(base: String): Path = Paths.get(base, "_meta")
 
@@ -43,22 +57,45 @@ object TableIO {
 
   def exists(base: String): Boolean = latestSnapshotId(base).isDefined
 
+  /** Per-file row counts of a committed data dir, read from parquet
+    * footers only — one entry per physical write partition. */
+  private def footerCounts(spark: SparkSession, dataPath: String): Map[String, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(dataPath)
+    val fs = root.getFileSystem(conf)
+    val out = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try out(root.toUri.relativize(f.getPath.toUri).toString) = rd.getRecordCount
+        finally rd.close()
+      }
+    }
+    out.toMap
+  }
+
   /** Commit df as the next snapshot of `base`. Returns the snapshot.
     * Data lands fully before the manifest is moved into place (atomic
     * rename of a complete temp file) — a killed job leaves either the
     * previous snapshot or the new one, never a torn table. */
   def commit(spark: SparkSession, df: DataFrame, base: String, stage: String,
              inputs: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Snapshot = {
+    import spark.implicits._
     val next = latestSnapshotId(base).getOrElse(-1L) + 1
     val dataPath = s"$base/data/snap-$next"
-    // per-partition lineage: rows per physical write partition
-    val withPid = df.withColumn("_pid", spark_partition_id())
-    val counts = withPid.groupBy("_pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val rows = counts.values.sum
+    val t0 = System.nanoTime()
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(dataPath)
+      .parquet(dataPath) // the ONLY action that computes df
+    val counts = footerCounts(spark, dataPath)
+    val rows = counts.values.sum
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // S8 metric sink: append-only per-commit metrics table
+    Seq((next, stage, rows, counts.size.toLong, wallMs))
+      .toDF("snapshot", "stage", "rows", "n_files", "wall_ms")
+      .write.mode("append").parquet(s"$base/_metrics")
     Files.createDirectories(metaDir(base))
     val lineage = counts.toSeq.sortBy(_._1)
       .map { case (p, n) => s"\"$p\":$n" }.mkString("{", ",", "}")
@@ -80,6 +117,10 @@ object TableIO {
       throw new IllegalStateException(s"no snapshot at $base"))
     spark.read.parquet(s"$base/data/snap-$id")
   }
+
+  /** The append-only commit-metrics table of `base` (S8 sink). */
+  def metrics(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/_metrics")
 
   /** Checkpointed resume: if `base` has a snapshot, read it back and skip
     * recompute — otherwise compute, commit, and read back (so downstream

@@ -27,7 +27,7 @@ object PipeProfile {
 
     val cfg = PipelineConfig(
       synth = graft.ingest.SynthConfig(entitiesPerKg = e),
-      embed = graft.embed.EmbedderConfig(dim = dim), useLsh = true)
+      embed = graft.embed.EmbedderConfig(dim = dim), useLsh = Some(true))
     val docs = graft.ingest.DocSynthesizer.docs(spark, cfg.synth)
     val ents = graft.ingest.DocSynthesizer.entities(spark, cfg.synth)
     time("docs materialize")(docs.count())

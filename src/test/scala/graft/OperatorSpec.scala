@@ -132,4 +132,14 @@ class OperatorSpec extends SparkTestBase {
     assert(got(10L) == 10L && got(11L) == 10L)
     assert(got(20L) == 20L && got(23L) == 20L)
   }
+
+  test("connected components: 10^5-degree hub converges without array rows") {
+    // the min-propagation form streams a hub's neighbors through the
+    // window sorter — the round-1 collect_set form built one array row
+    // of the whole neighborhood (multi-GB at 10^8 degree)
+    val hub = spark.range(1L, 100001L).selectExpr("CAST(50000 AS LONG) AS a", "id AS b")
+    val got = ConnectedComponents.run(spark, hub)
+    assert(got.count() == 100000L)
+    assert(got.filter(org.apache.spark.sql.functions.col("component") =!= 1L).count() == 0L)
+  }
 }

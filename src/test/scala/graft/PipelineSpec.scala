@@ -47,6 +47,31 @@ class PipelineSpec extends SparkTestBase {
     assert(Set("subj", "pred", "obj", "subjId", "objId").subsetOf(cols))
   }
 
+  test("LSH path emits RSM-scale scores and merges like the exact path") {
+    // ADVICE r1 (high): LshTopK used to emit raw cosine while the
+    // acceptance threshold was a z-score — useLsh=true silently produced
+    // ZERO merges. Both paths must land edges past rsmThreshold.
+    val r = Pipeline.runSynthetic(spark, cfg.copy(useLsh = Some(true)))
+    assert(r.usedLsh)
+    val lshComps = r.components.count()
+    val exactComps = result.components.count()
+    assert(lshComps > 0, "LSH path accepted no canonicalization edges")
+    assert(lshComps.toDouble >= exactComps.toDouble * 0.5,
+      s"LSH merges $lshComps far below exact $exactComps")
+    val gold = DocSynthesizer.goldLinks(spark, cfg.synth)
+    val m = Metrics.hitAtK(spark, r.alignment, gold).head()
+    assert(m.getDouble(0) >= 0.5, s"LSH-path hit@1 ${m.getDouble(0)}")
+  }
+
+  test("auto candidate path: big corpus → LSH, small corpus → exact broadcast") {
+    // default fixture (80 ents × dim 48) fits the broadcast budget → exact
+    assert(!result.usedLsh)
+    // force the budget below any corpus → auto must select LSH (no
+    // driver-side corpus collect in the flagship plan at scale)
+    val big = Pipeline.runSynthetic(spark, cfg.copy(exactPathMaxFloats = 1L))
+    assert(big.usedLsh)
+  }
+
   test("pipeline is deterministic across parallelism (content-derived seqs)") {
     val a = result.idTriples.collect().map(t => (t.head, t.rel, t.tail)).sorted
     val docs2 = DocSynthesizer.docs(spark, cfg.synth).repartition(13)

@@ -17,9 +17,23 @@ class TableIOSpec extends SparkTestBase {
     val snap = TableIO.commit(spark, df, base, "stage1")
     assert(snap.id == 0 && snap.rows == 100)
     assert(snap.partitionRows.values.sum == 100) // per-partition lineage
+    assert(snap.partitionRows.keys.forall(_.endsWith(".parquet"))) // physical files
     val back = TableIO.read(spark, base)
     assert(back.count() == 100)
     assert(Files.exists(Path.of(base, "_meta", "snapshot-0.json")))
+    // S8 metric sink: append-only _metrics table records the commit
+    val m = TableIO.metrics(spark, base).collect()
+    assert(m.length == 1 && m.head.getAs[Long]("rows") == 100)
+  }
+
+  test("commit computes the input DataFrame exactly once (single-pass lineage)") {
+    val base = tmp()
+    val acc = spark.sparkContext.longAccumulator("computeRuns")
+    val df = spark.range(0, 1000, 1, 4).map { i => acc.add(1L); i * 2 }.toDF("v")
+    val snap = TableIO.commit(spark, df, base, "once")
+    assert(snap.rows == 1000)
+    // round-1 commit ran a lineage count THEN the write → 2000 here
+    assert(acc.value == 1000L, s"df computed ${acc.value / 1000.0}x, expected once")
   }
 
   test("computeIfAbsent skips recompute on resume (byte-identical read-back)") {
