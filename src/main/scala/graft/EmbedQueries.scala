@@ -101,6 +101,71 @@ object EmbedQueries {
        r AS (SELECT center, nb, row_number() OVER (PARTITION BY center ORDER BY seq) AS pos FROM d)
        SELECT center, pos, nb AS neighbor FROM r WHERE pos <= 5"""
 
+  // ---------- A1 variant: per-relation neighbor grouping (Neighbors.py:18-28) ----------
+
+  def qNeighborAggRel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("center"),
+        pmod(col("l_partkey"), lit(4)).cast("long").as("rel"),
+        col("l_suppkey").cast("string").as("neighbor"),
+        col("l_suppkey").cast("long").as("neighborId"),
+        (col("l_linenumber").cast("long") * 100000 + col("l_suppkey")).as("seq"))
+      .as[graft.graph.RelEdge]
+    graft.graph.NeighborAgg.orderedNeighborsByRel(spark, edges, 3)
+      .flatMap { case ((c, r), ns) =>
+        ns.iterator.zipWithIndex.map { case ((_, nid), i) => (c, r, (i + 1).toLong, nid) } }
+      .toDF("center", "rel", "pos", "neighbor")
+  }
+
+  val qNeighborAggRelSql =
+    """WITH e AS (
+         SELECT l_orderkey AS center, l_partkey % 4 AS rel, l_suppkey AS nb,
+                CAST(l_linenumber AS BIGINT) * 100000 + l_suppkey AS seq,
+                row_number() OVER (PARTITION BY l_orderkey, l_partkey % 4, l_suppkey ORDER BY l_linenumber) AS rn
+         FROM lineitem),
+       d AS (SELECT center, rel, nb, seq FROM e WHERE rn = 1),
+       r AS (SELECT center, rel, nb, row_number() OVER (PARTITION BY center, rel ORDER BY seq) AS pos FROM d)
+       SELECT CAST(center AS BIGINT) AS center, CAST(rel AS BIGINT) AS rel, pos,
+              CAST(nb AS BIGINT) AS neighbor FROM r WHERE pos <= 3"""
+
+  // ---------- J5/A4 full scope: valid/test two-set eval with sentinel ----------
+
+  /** Reference two-set eval (model/layers_LaBSE_neighbor.py:304-331):
+    * valid and test link sets scored separately; a source whose gold
+    * target is missing maps to sentinel 99999 and counts as a miss.
+    * Gold here: min same-label other vector (null → sentinel). */
+  def qEvalTwoSet(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val others = e.select(col("vec_id").as("cid"), col("label").as("clabel"))
+    val gold = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("e1"), col("label"))
+      .join(others, col("label") === col("clabel") && col("cid") =!= col("e1"), "left")
+      .groupBy(col("e1")).agg(min(col("cid")).as("e2"))
+    val valid = gold.filter(col("e1") < 25)
+    val test = gold.filter(col("e1") >= 25)
+    val cands = qCosineTopK(spark, dir)
+      .select(col("src").as("srcId"), col("dst").as("dstId"), col("rank"))
+    graft.eval.Metrics.evalTwoSet(spark, cands, valid, test, k = 5)
+  }
+
+  val qEvalTwoSetSql =
+    s"""WITH topk AS ($qCosineTopKSql),
+       gold AS (SELECT s.vec_id AS e1, min(c.vec_id) AS e2
+                FROM embeddings s LEFT JOIN embeddings c
+                  ON s.label = c.label AND c.vec_id <> s.vec_id
+                WHERE s.vec_id < 50 GROUP BY s.vec_id),
+       g2 AS (SELECT CASE WHEN e1 < 25 THEN 'valid' ELSE 'test' END AS split,
+                     e1, coalesce(e2, 99999) AS e2 FROM gold),
+       per AS (SELECT split, e1,
+                 max(CASE WHEN dst = e2 AND rank = 1 THEN 1 ELSE 0 END) AS h1,
+                 max(CASE WHEN dst = e2 AND rank <= 5 THEN 1 ELSE 0 END) AS hk
+               FROM g2 LEFT JOIN topk ON topk.src = g2.e1
+               GROUP BY split, e1)
+       SELECT split, count(*) AS n_sources, CAST(sum(h1) AS BIGINT) AS n_hit1,
+              CAST(sum(hk) AS BIGINT) AS n_hitk
+       FROM per GROUP BY split"""
+
   // ---------- connected components vs recursive-CTE oracle ----------
 
   def qConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
@@ -155,6 +220,8 @@ object EmbedQueries {
     "q_cosine_topk" -> (qCosineTopK _, qCosineTopKSql),
     "q_hit_at_k" -> (qHitAtK _, qHitAtKSql),
     "q_neighbor_agg" -> (qNeighborAgg _, qNeighborAggSql),
+    "q_neighbor_agg_rel" -> (qNeighborAggRel _, qNeighborAggRelSql),
+    "q_eval_two_set" -> (qEvalTwoSet _, qEvalTwoSetSql),
     "q_connected_components" -> (qConnectedComponents _, qConnectedComponentsSql),
     "q_events_window" -> (qEventsWindow _, qEventsWindowSql),
     "q_sessionize" -> (qSessionize _, qSessionizeSql))

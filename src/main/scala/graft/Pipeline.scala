@@ -49,7 +49,22 @@ final case class PipelineConfig(
       * unmerged; 2.0 merges ~all with no observed false merges (rank-1
       * precision is gated separately by Hit@1). */
     rsmThreshold: Double = 2.0,
+    /** lowercase normalization at load — the DWY100K discipline
+      * (loader/DWY100K.py:21); applied to both entity names and mention
+      * surfaces so dictionary linking stays consistent. */
+    lowercaseNames: Boolean = false,
     checkpointDir: Option[String] = None)
+
+object PipelineConfig {
+  /** DWY100K-shaped preset: lowercase entity load (loader/DWY100K.py:21),
+    * batch 32 (model/layers_DWY_LaBSE_neighbor.py:43). The DWY
+    * eval-every-epoch discipline (:442) is MoCoTrainer.train's `eval`
+    * hook (best-by-valid-metric weights). */
+  def dwy(synth: SynthConfig = SynthConfig(), embed: EmbedderConfig = EmbedderConfig()): PipelineConfig =
+    PipelineConfig(synth = synth, embed = embed,
+      moco = MoCoConfig(batchSize = 32, epochs = 1),
+      lowercaseNames = true)
+}
 
 final case class PipelineResult(
     docs: Dataset[Doc],
@@ -71,11 +86,20 @@ object Pipeline {
     run(spark, docs, ents, cfg)
   }
 
-  def run(spark: SparkSession, docs: Dataset[Doc], ents: Dataset[Entity], cfg: PipelineConfig): PipelineResult = {
+  def run(spark: SparkSession, docs: Dataset[Doc], ents0: Dataset[Entity], cfg: PipelineConfig): PipelineResult = {
     import spark.implicits._
 
+    // ---- stage 0: load normalization (DWY lowercase discipline) ----
+    val ents =
+      if (cfg.lowercaseNames) ents0.map(e => e.copy(name = e.name.toLowerCase))
+      else ents0
+
     // ---- stage 1: extraction (checkpointable) ----
-    val raw = Extraction.rawTriples(spark, docs)
+    val raw0 = Extraction.rawTriples(spark, docs)
+    val raw =
+      if (cfg.lowercaseNames)
+        raw0.map(r => r.copy(subj = r.subj.toLowerCase, obj = r.obj.toLowerCase))
+      else raw0
     val idTriples = cfg.checkpointDir match {
       case Some(dir) =>
         TableIO.computeIfAbsent(spark, s"$dir/id_triples", "extract") {

@@ -195,6 +195,32 @@ object Queries {
     """SELECT c_custkey, length(c_name) AS name_len, ascii(c_name) AS first_cp,
        rpad(c_name, 20, ' ') AS padded FROM customer"""
 
+  // ---------- F1/W4 full scope: codepoint token features (get_token.py:25-41) ----------
+
+  /** Full char-ordinal token vector per name — len 50, pad ord(' ')=32,
+    * FULL Unicode codepoints (reference `ord`) via the typed
+    * TokenFeatures kernel — exploded to (id, pos, cp) scalar rows for
+    * the driver comparator. */
+  def qTokenFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"), col("c_name"))
+      .as[(Long, String)]
+      .flatMap { case (id, name) =>
+        graft.functions.TokenFeatures.codepoints(name).iterator.zipWithIndex.map {
+          case (cp, i) => (id, (i + 1).toLong, cp.toLong) }
+      }.toDF("c_custkey", "pos", "cp")
+  }
+
+  val qTokenFeaturesSql =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       unnest(range(1, 51)) AS pos,
+       unnest(list_transform(range(1, 51), i ->
+         CASE WHEN i <= length(c_name)
+              THEN CAST(ascii(substring(c_name, CAST(i AS INT), 1)) AS BIGINT)
+              ELSE CAST(32 AS BIGINT) END)) AS cp
+       FROM customer"""
+
   // ---------- registry ----------
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -210,7 +236,8 @@ object Queries {
     "q_union_tables" -> (qUnionTables _, qUnionTablesSql),
     "q_window_topk" -> (qWindowTopK _, qWindowTopKSql),
     "q_sorted_dict" -> (qSortedDict _, qSortedDictSql),
-    "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql)) ++
+    "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql),
+    "q_token_features" -> (qTokenFeatures _, qTokenFeaturesSql)) ++
     TextQueries.sqlChecked ++ EmbedQueries.sqlChecked
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

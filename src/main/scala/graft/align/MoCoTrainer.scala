@@ -35,7 +35,12 @@ final case class MoCoConfig(
     temperature: Double = 0.08,    // :46
     momentum: Double = 0.9999,     // :47
     epochs: Int = 3,
-    alphaGrid: Seq[Float] = Seq(0.0f, 0.1f, 0.2f, 0.3f, 0.5f, 0.8f))
+    alphaGrid: Seq[Float] = Seq(0.0f, 0.1f, 0.2f, 0.3f, 0.5f, 0.8f),
+    /** refinement step around the current alpha after epoch 0; HALVED
+      * every 10 epochs — the analog of the reference's LR schedule (F8,
+      * model/layers_LaBSE_neighbor.py:53-57: lr halves every 10 epochs;
+      * alpha is this trainer's only free parameter). */
+    alphaStep: Float = 0.1f)
 
 object MoCoTrainer {
 
@@ -54,8 +59,10 @@ object MoCoTrainer {
     * queue discipline. Returns (bestAlpha, loss) averaged over partitions.
     * Blocks are batched in content-derived order (id hash) so the result
     * is independent of partitioning — N vs 4N determinism (SURVEY §7.5). */
-  def epoch(spark: SparkSession, blocks: Dataset[NeighborBlock], w: GatWeights, cfg: MoCoConfig): (Float, Double) = {
+  def epoch(spark: SparkSession, blocks: Dataset[NeighborBlock], w: GatWeights, cfg: MoCoConfig,
+            grid: Seq[Float] = Nil): (Float, Double) = {
     import spark.implicits._
+    val alphas = if (grid.nonEmpty) grid else cfg.alphaGrid
     val results = blocks
       .map(b => (graft.util.DetHash.h1(Dims.Seed, b.id), b))(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.product[NeighborBlock]))
@@ -64,7 +71,7 @@ object MoCoTrainer {
         val rows = it.toArray.sortBy(_._1).map(_._2) // deterministic batch order
         if (rows.isEmpty) Iterator.empty
         else {
-          val out = cfg.alphaGrid.map { a =>
+          val out = alphas.map { a =>
             val wq = w.withAlpha(a)            // query encoder
             var wk = wq                        // momentum key encoder (T2)
             var loss = 0.0; var nPairs = 0L
@@ -110,15 +117,39 @@ object MoCoTrainer {
     }
   }
 
-  def train(spark: SparkSession, blocks: Dataset[NeighborBlock], dim: Int, cfg: MoCoConfig = MoCoConfig()): GatWeights = {
+  /** Training loop. Epoch 0 searches the coarse alphaGrid; later epochs
+    * refine around the current alpha with a step that HALVES every 10
+    * epochs — the analog of the reference LR schedule (F8,
+    * model/layers_LaBSE_neighbor.py:53-57), alpha being the only free
+    * parameter of this stand-in trainer.
+    *
+    * `eval` (optional) is the eval-every-epoch discipline (DWY:
+    * layers_DWY_LaBSE_neighbor.py:442): called after each epoch, and the
+    * best-scoring weights are returned (A5 best-metric tracking) instead
+    * of the last-epoch weights. */
+  def train(spark: SparkSession, blocks: Dataset[NeighborBlock], dim: Int,
+            cfg: MoCoConfig = MoCoConfig(),
+            eval: Option[GatWeights => Double] = None): GatWeights = {
     var w = GatKernel.initWeights(dim)
+    var best = w
+    var bestScore = Double.NegativeInfinity
     var e = 0
     while (e < cfg.epochs) {
-      val (a, _) = epoch(spark, blocks, w, cfg)
+      val grid =
+        if (e == 0) cfg.alphaGrid
+        else {
+          val step = (cfg.alphaStep * math.pow(0.5, e / 10)).toFloat
+          (-2 to 2).map(i => math.min(1f, math.max(0f, w.alpha + i * step))).distinct
+        }
+      val (a, _) = epoch(spark, blocks, w, cfg, grid)
       w = w.withAlpha(a)
+      eval.foreach { f =>
+        val s = f(w)
+        if (s > bestScore) { bestScore = s; best = w }
+      }
       e += 1
     }
-    w
+    if (eval.isDefined) best else w
   }
 
   /** Encode blocks with trained weights → alignment embeddings. */

@@ -28,6 +28,32 @@ object Metrics {
       count(lit(1)).as("n_sources"))
   }
 
+  /** Valid/test two-set evaluation with missing-target sentinel — the
+    * reference evaluates the valid and test link sets separately every
+    * epoch and maps a source whose gold target is absent to sentinel
+    * 99999 (model/layers_LaBSE_neighbor.py:304-331): the sentinel can
+    * never be retrieved, so such sources count as misses in the
+    * denominator rather than vanishing from it. Inputs are (e1, e2)
+    * frames where e2 may be null (missing target). Output: one row per
+    * split — (split, n_sources, n_hit1, n_hitk), integer counts. */
+  def evalTwoSet(spark: SparkSession, cands: DataFrame,
+                 valid: DataFrame, test: DataFrame,
+                 k: Int = Dims.TopK, sentinel: Long = 99999L): DataFrame = {
+    val gold = valid.select(lit("valid").as("split"), col("e1"), col("e2"))
+      .unionByName(test.select(lit("test").as("split"), col("e1"), col("e2")))
+      .select(col("split"), col("e1"), coalesce(col("e2"), lit(sentinel)).as("e2"))
+    gold
+      .join(cands, col("srcId") === col("e1"), "left")
+      .groupBy(col("split"), col("e1"))
+      .agg(
+        max(when(col("dstId") === col("e2") && col("rank") === 1, 1).otherwise(0)).as("h1"),
+        max(when(col("dstId") === col("e2") && col("rank") <= k, 1).otherwise(0)).as("hk"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("h1")).cast("long").as("n_hit1"),
+        sum(col("hk")).cast("long").as("n_hitk"))
+  }
+
   /** Precision/recall of emitted triples vs the gold triple set (binding
     * gate: P/R ≥ 0.95, BASELINE.json). Exact set semantics on
     * (head, rel, tail). */

@@ -49,7 +49,14 @@ object Extraction {
         col("z.kinds").as("kind"), col("z.texts").as("text"))
       .filter(col("kind") === "text")
 
-  /** Parse one text-span into triples. Pure, order-preserving. */
+  /** Parse one text-span into triples. Pure, order-preserving.
+    *
+    * Semantics: ALL matching (prev, rel_k, next) token windows emit —
+    * including overlapping ones when rel_ tokens are adjacent. Per-window
+    * independence makes the parse embarrassingly parallel and gives
+    * batch/stream parity BY CONSTRUCTION (the streaming path evaluates
+    * windows independently; an earlier consume-after-match rule here
+    * diverged on inputs like "a rel_1 rel_2 b"). */
   def parseSpan(text: String): Seq[(String, String, String)] = {
     val toks = text.split(' ')
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
@@ -58,9 +65,9 @@ object Extraction {
       toks(i) match {
         case PredPat(_) if toks(i - 1) != "." && toks(i + 1) != "." =>
           out += ((toks(i - 1), toks(i), toks(i + 1)))
-          i += 2
-        case _ => i += 1
+        case _ =>
       }
+      i += 1
     }
     out.toSeq
   }

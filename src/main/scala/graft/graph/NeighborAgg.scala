@@ -10,6 +10,10 @@ import graft.kg._
   * first-seen position `seq` (file line order in the reference). */
 case class Edge(center: Long, neighbor: String, neighborId: Long, seq: Long)
 
+/** Edge variant carrying the relation — feeds the per-relation
+  * neighborhood grouping (loader/Neighbors.py:18-28). */
+case class RelEdge(center: Long, rel: Long, neighbor: String, neighborId: Long, seq: Long)
+
 /** Ordered-dedup neighbor collect — the reference's load-bearing
   * aggregation (SURVEY.md §2.4 A1; loader/DBP15KRawNeighbors.py:25-45):
   * distinct neighbor strings in FIRST-SEEN order (min seq per string),
@@ -91,6 +95,19 @@ object NeighborAgg {
       .select(col("center"), col("neighbor"), col("neighborId"), col("seq"))
       .as[Edge]
     filtered.groupByKey(_.center)
+      .agg(new OrderedDedupAgg(limit).toColumn.name("neighbors"))
+  }
+
+  /** Per-relation grouping variant (loader/Neighbors.py:18-28:
+    * dict[id][relation] -> ordered distinct neighbors) — the
+    * relation-aware neighborhood the token ablation consumes. Same
+    * ordered-dedup aggregator, keyed by (center, rel); dedup is per
+    * (center, rel) group exactly as the reference dicts nest. */
+  def orderedNeighborsByRel(spark: SparkSession, edges: Dataset[RelEdge],
+                            limit: Int = Dims.NeighborSize - 1): Dataset[((Long, Long), Seq[(String, Long)])] = {
+    import spark.implicits._
+    edges.groupByKey(e => (e.center, e.rel))
+      .mapValues(e => Edge(e.center, e.neighbor, e.neighborId, e.seq))
       .agg(new OrderedDedupAgg(limit).toColumn.name("neighbors"))
   }
 

@@ -35,6 +35,20 @@ class MoCoSpec extends SparkTestBase {
       s"queue must fill and produce a real NCE loss, got $loss")
   }
 
+  test("train: alpha-step schedule refines; eval hook returns best-by-metric") {
+    // F8 analog: epoch>0 grids center on the current alpha with a step
+    // that halves every 10 epochs; the eval hook (DWY eval-every-epoch)
+    // must make train return the best-scoring epoch's weights
+    val cfg = MoCoConfig(batchSize = 8, queueLen = 4, epochs = 3, alphaStep = 0.05f)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Float]
+    val w = MoCoTrainer.train(spark, blocks(4), 32, cfg,
+      eval = Some(wt => { seen += wt.alpha; -math.abs(wt.alpha - 0.2) }))
+    assert(seen.size == 3)
+    val expected = seen.minBy(a => math.abs(a - 0.2f))
+    assert(w.alpha == expected, s"returned ${w.alpha}, best-by-eval $expected of $seen")
+    assert(w.alpha >= 0f && w.alpha <= 1f)
+  }
+
   test("MoCo encode is deterministic and normalized") {
     val w = GatKernel.initWeights(32).withAlpha(0.3f)
     val a = MoCoTrainer.encode(spark, blocks(3), w).collect().sortBy(_.id)

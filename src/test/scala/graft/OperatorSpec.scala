@@ -42,6 +42,20 @@ class OperatorSpec extends SparkTestBase {
     assert(run(32) == expected)
   }
 
+  // ---------- F1/W4: codepoint token features ----------
+
+  test("codepoint tokenizer: Python-ord semantics, len 50, pad 32, non-BMP") {
+    import graft.functions.TokenFeatures
+    // Python oracle: [ord(c) for c in "Ab √ 中𝄞"]
+    //   = [65, 98, 32, 8730, 32, 20013, 119070]
+    // (𝄞 is a UTF-16 surrogate pair → must count as ONE codepoint)
+    val v = TokenFeatures.codepoints("Ab √ 中𝄞")
+    assert(v.take(7).sameElements(Array(65, 98, 32, 8730, 32, 20013, 119070)))
+    assert(v.length == 50 && v.drop(7).forall(_ == 32))
+    val long = TokenFeatures.codepoints("x" * 80)
+    assert(long.length == 50 && long.forall(_ == 'x'.toInt))
+  }
+
   // ---------- F2/A3: embedder ----------
 
   test("embedder: deterministic, L2-normalized, alignment-separating") {

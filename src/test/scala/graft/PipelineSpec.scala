@@ -72,6 +72,35 @@ class PipelineSpec extends SparkTestBase {
     assert(big.usedLsh)
   }
 
+  test("two-set eval: sentinel counts missing-target sources as misses") {
+    val gold = DocSynthesizer.goldLinks(spark, cfg.synth).toDF("e1", "e2")
+    val validG = gold.filter($"e1" % 2 === 0)
+    // test split gains one source with NO gold target (null → sentinel)
+    val testG = gold.filter($"e1" % 2 === 1)
+      .unionByName(Seq((999999999L, Option.empty[Long])).toDF("e1", "e2"))
+    val m = Metrics.evalTwoSet(spark, result.alignment.toDF(), validG, testG, k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("valid")._1 + m("test")._1 == gold.count() + 1,
+      "every linked source counts, including the sentinel-mapped one")
+    assert(m("valid")._2.toDouble / m("valid")._1 >= 0.7, s"valid hit1 ${m("valid")}")
+    assert(m("test")._2 < m("test")._1, "the sentinel source can never hit")
+  }
+
+  test("DWY preset: lowercase load links mixed-case surfaces to the dict") {
+    val ents = Seq(Entity(1, "Alpha_One", 1), Entity(2, "Beta_Two", 1),
+      Entity(1000001, "ALPHA_one", 2), Entity(1000002, "beta_TWO", 2)).toDS()
+    val docs = Seq(
+      Doc("kg1_d0", Seq(Span("text", "Alpha_One rel_1 Beta_Two .", "", 0))),
+      Doc("kg2_d0", Seq(Span("text", "ALPHA_one rel_1 beta_TWO .", "", 0)))).toDS()
+    val dwy = PipelineConfig.dwy(embed = EmbedderConfig(dim = 32)).copy(useLsh = Some(false))
+    assert(dwy.moco.batchSize == 32) // layers_DWY_LaBSE_neighbor.py:43
+    val r = Pipeline.run(spark, docs, ents, dwy)
+    assert(r.idTriples.collect().toSet ==
+      Set(Triple(1, 1, 2), Triple(1000001, 1, 1000002)))
+    val subjects = r.canonicalTriples.select("subj").collect().map(_.getString(0))
+    assert(subjects.nonEmpty && subjects.forall(s => s == s.toLowerCase))
+  }
+
   test("pipeline is deterministic across parallelism (content-derived seqs)") {
     val a = result.idTriples.collect().map(t => (t.head, t.rel, t.tail)).sorted
     val docs2 = DocSynthesizer.docs(spark, cfg.synth).repartition(13)
