@@ -26,5 +26,23 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Shuffle/spill scratch on tmpfs: this VM's block device serializes
+  // concurrent shuffle-file IO (jstack showed 30/32 executor threads in
+  // FileChannel.transferTo), inverting 8-vs-32-core scaling. A real
+  // cluster gives each executor local NVMe; tmpfs is the single-node
+  // stand-in. ~5-15 GB at bench scale, 126 GB available.
+  "-Dspark.local.dir=/dev/shm/spark-graft",
+  // local[32] executes 32 concurrent tasks in ONE JVM: at bench scale
+  // (100k docs, dim 256) the persisted banded LSH sets + shuffle buffers
+  // exceed an 8g heap and GC thrash inverts the 8-vs-32-core scaling
+  // measurement. The sandbox has 125 GiB; size like a real executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+)
+// Benchmarked mains only (not tests): pre-fault the whole heap at JVM
+// start. Growing the heap lazily makes every fresh allocation page-fault
+// through the hypervisor — those faults serialize across 32 threads and
+// were the measured anti-scaling of allocation-heavy stages.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
 )

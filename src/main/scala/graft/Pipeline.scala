@@ -135,7 +135,10 @@ object Pipeline {
 
     // ---- stage 4: candidate top-k join (KG1 queries vs KG2 corpus) ----
     val kgOf = broadcast(ents.toDF().select(col("id"), col("kg")))
+    // persist: BOTH candidate sides (q1, c2) materialize this — without
+    // it the whole upstream (extraction → blocks → GAT encode) runs twice
     val embById = encodedAll.join(kgOf, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q1 = embById.filter(col("kg") === 1).select(col("id"), col("emb")).as[Emb]
     val c2 = embById.filter(col("kg") === 2).select(col("id"), col("emb")).as[Emb]
     val wantLsh = cfg.useLsh.getOrElse {

@@ -65,8 +65,11 @@ object LshTopK {
       bucketLength: Double = 0.0,
       /** bucket width in units of measured projection std (auto mode) */
       wScale: Double = 1.0,
-      /** max rows (either side) of one (band,key) before 2-D tiling */
-      bucketCap: Int = 1000,
+      /** max rows (either side) of one (band,key) before 2-D tiling.
+        * 512 → ≤0.26M pairs per cell: enough cells that the cogroup's
+        * hash partitioning spreads them evenly (cap 1000 left single
+        * 13-21 s straggler tasks pacing the whole stage at 32 cores). */
+      bucketCap: Int = 512,
       /** corpus sample size for mean/std + RSM calibration */
       sampleSize: Int = 4096,
       seed: Long = Dims.Seed)
@@ -105,20 +108,94 @@ object LshTopK {
   @inline private def packKey(band: Int, key: Long): Long =
     (band.toLong << 48) ^ (key & 0xffffffffffffL)
 
-  private def topkHeap(k: Int, qe: Array[Float], corp: Array[(Long, Array[Float])]): Iterator[(Double, Long)] = {
-    val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(Ordering.by(x => (-x._1, -x._2)))
+  /** true iff the pair already met (and was scored) in an earlier band:
+    * both sides carry their band-key PREFIX up to the current band, so a
+    * handful of long compares replaces a duplicate dim-length dot — a
+    * strongly-similar pair collides in most of the 10 bands and was
+    * scored 10× before this dedup. */
+  @inline private def scoredEarlier(qk: Array[Long], ck: Array[Long]): Boolean = {
+    val n = math.min(qk.length, ck.length)
+    var j = 0
+    while (j < n) {
+      if (qk(j) == ck(j)) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Scoring vectors travel the cogroup shuffle QUANTIZED to 16 bits:
+    * inputs are L2-normalized (|coord| ≤ 1), so scale 32767 gives ≤3e-5
+    * per-coordinate error (~1e-5 on a 256-dim cosine) — far below the
+    * fixture's aligned-vs-bulk score gaps — while HALVING shuffle bytes,
+    * cell cache footprint, and per-row deserialization (the measured
+    * scaling ceiling of the cogroup stage). Candidate ranking is gated
+    * by the recall-vs-exact tests; the exact path stays full float. */
+  final val QScale = 32767f
+
+  def quantize(v: Array[Float]): Array[Short] = {
+    val out = new Array[Short](v.length)
     var i = 0
-    while (i < corp.length) {
-      val s = Embedder.dot(qe, corp(i)._2)
-      if (heap.size < k) heap.enqueue((s, corp(i)._1))
-      // id tie-break at the boundary (mirrors ExactTopK) — encounter order
-      // inside a cogroup varies with partitioning, score ties must not
-      else if (s > heap.head._1 || (s == heap.head._1 && corp(i)._1 < heap.head._2)) {
-        heap.dequeue(); heap.enqueue((s, corp(i)._1))
+    while (i < v.length) { out(i) = math.round(v(i) * QScale).toShort; i += 1 }
+    out
+  }
+
+  /** 4-way unrolled int dot over quantized vectors → cosine in [-1, 1]. */
+  def dotQ(a: Array[Short], b: Array[Short]): Double = {
+    val n = a.length
+    var s0 = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L
+    var i = 0
+    while (i < n - 3) {
+      s0 += a(i) * b(i).toLong
+      s1 += a(i + 1) * b(i + 1).toLong
+      s2 += a(i + 2) * b(i + 2).toLong
+      s3 += a(i + 3) * b(i + 3).toLong
+      i += 4
+    }
+    while (i < n) { s0 += a(i) * b(i).toLong; i += 1 }
+    ((s0 + s1) + (s2 + s3)).toDouble / (QScale.toDouble * QScale)
+  }
+
+  /** Corpus side of one scoring cell as parallel primitive arrays — no
+    * per-element tuple boxing in the inner loop. */
+  private final class Cell(val ids: Array[Long], val embs: Array[Array[Short]],
+                           val keys: Array[Array[Long]]) {
+    def size: Int = ids.length
+  }
+
+  /** Sorted primitive top-k insertion buffer (descending score, ties to
+    * the smaller id — mirrors ExactTopK so results are independent of
+    * encounter order). k ≤ 10: linear insert into parallel primitive
+    * arrays; boxed PriorityQueue/sortBy comparators in these loops
+    * dominated jstack samples and anti-scaled at 32 threads. */
+  private final class TopKBuf(k: Int) {
+    val ss = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var n = 0
+    def offer(s: Double, cid: Long): Unit = {
+      if (n < k || s > ss(n - 1) || (s == ss(n - 1) && cid < ids(n - 1))) {
+        var p = if (n < k) n else n - 1
+        while (p > 0 && (ss(p - 1) < s || (ss(p - 1) == s && ids(p - 1) > cid))) {
+          ss(p) = ss(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        ss(p) = s; ids(p) = cid
+        if (n < k) n += 1
+      }
+    }
+  }
+
+  /** Top-k of one query against a cell: allocation-free inner loop. */
+  private def topkCell(k: Int, qKeys: Array[Long], qe: Array[Short],
+                       cell: Cell): Iterator[(Double, Long)] = {
+    val buf = new TopKBuf(k)
+    var i = 0
+    val m = cell.size
+    while (i < m) {
+      if (!scoredEarlier(qKeys, cell.keys(i))) {
+        buf.offer(dotQ(qe, cell.embs(i)), cell.ids(i))
       }
       i += 1
     }
-    heap.iterator
+    Iterator.tabulate(buf.n)(j => (buf.ss(j), buf.ids(j)))
   }
 
   def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
@@ -158,7 +235,10 @@ object LshTopK {
     val negBc = spark.sparkContext.broadcast(
       sample.indices.collect { case i if i % 8 == 0 => sample(i).emb }.toArray)
 
-    def banded(ds: Dataset[Emb]): Dataset[(Int, Long, Long, Array[Float])] =
+    // each occurrence carries its band-key PREFIX keys[0..j): the scoring
+    // cell uses it to skip pairs already scored in an earlier band
+    // (avg bands/2 longs per row — small next to the embedding itself)
+    def banded(ds: Dataset[Emb]): Dataset[(Int, Long, Long, Array[Short], Array[Long])] =
       ds.mapPartitions { it =>
         val ps = projsBc.value
         val mn = meanBc.value
@@ -167,22 +247,30 @@ object LshTopK {
           var i = 0
           while (i < dim) { centered(i) = e.emb(i) - mn(i); i += 1 }
           val keys = bandKeysOf(centered, ps, w, bands, rows)
-          Iterator.tabulate(bands)(j => (j, keys(j), e.id, e.emb))
+          val q16 = quantize(e.emb)
+          Iterator.tabulate(bands)(j =>
+            (j, keys(j), e.id, q16, java.util.Arrays.copyOf(keys, j)))
         }
       }
 
     // spread the salting/replication serialization across all cores —
     // without this the map work pins to the partitions holding hot rows.
+    // The spread shuffle moves the RAW Emb rows (1× the vectors), not the
+    // banded rows (bands× the vectors): banding fans out uniformly, so
+    // repartitioning before it buys the same balance at ~1/bands the
+    // shuffle bytes (the banded repartition was one of two full banded
+    // shuffles — ~1 GB/side at 100k×256 — and shuffle IO is what
+    // saturates memory bandwidth at 32 threads).
     // Persist: the banded sets feed BOTH the bucket-count job and the
-    // main cogroup; without persist each action re-runs the banding
-    // shuffle (measured ~80 s of redundant shuffle at 100k vectors).
+    // main cogroup; without persist each action re-runs banding
+    // (measured ~80 s redundant at 100k vectors).
     val spread = spark.sparkContext.defaultParallelism * 4
-    val qb = banded(qP).repartition(spread).persist(StorageLevel.MEMORY_AND_DISK)
-    val cb = banded(cP).repartition(spread).persist(StorageLevel.MEMORY_AND_DISK)
+    val qb = banded(qP.repartition(spread)).persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = banded(cP.repartition(spread)).persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- 2-D salt tiling from per-side bucket counts (ONE fused job) ---
-    val hot = qb.toDF("band", "key", "id", "emb").select(lit(0).as("side"), col("band"), col("key"))
-      .unionByName(cb.toDF("band", "key", "id", "emb").select(lit(1).as("side"), col("band"), col("key")))
+    val hot = qb.toDF("band", "key", "id", "emb", "keys").select(lit(0).as("side"), col("band"), col("key"))
+      .unionByName(cb.toDF("band", "key", "id", "emb", "keys").select(lit(1).as("side"), col("band"), col("key")))
       .groupBy("side", "band", "key").count()
       .filter(col("count") > cfg.bucketCap)
       .select(col("side"), col("band"), col("key"), col("count"))
@@ -197,39 +285,42 @@ object LshTopK {
     // side's salts: every (q, c) pair meets in exactly one (sq, sc) cell
     val cbS = cb.mapPartitions { it =>
       val mC = saltsCBc.value; val mQ = saltsQBc.value
-      it.flatMap { case (b, key, id, emb) =>
+      it.flatMap { case (b, key, id, emb, keys) =>
         val sc = (DetHash.h1(7, id) % mC.getOrElse(packKey(b, key), 1)).toInt.abs
         val sq = mQ.getOrElse(packKey(b, key), 1)
-        Iterator.tabulate(sq)(q => (b, key, q * 4096 + sc, id, emb))
+        Iterator.tabulate(sq)(q => (b, key, q * 4096 + sc, id, emb, keys))
       }
     }
     val qbS = qb.mapPartitions { it =>
       val mC = saltsCBc.value; val mQ = saltsQBc.value
-      it.flatMap { case (b, key, id, emb) =>
+      it.flatMap { case (b, key, id, emb, keys) =>
         val sq = (DetHash.h1(11, id) % mQ.getOrElse(packKey(b, key), 1)).toInt.abs
         val sc = mC.getOrElse(packKey(b, key), 1)
-        Iterator.tabulate(sc)(c => (b, key, sq * 4096 + c, id, emb))
+        Iterator.tabulate(sc)(c => (b, key, sq * 4096 + c, id, emb, keys))
       }
     }
     val scored = qbS.groupByKey(r => (r._1, r._2, r._3))
       .cogroup(cbS.groupByKey(r => (r._1, r._2, r._3))) { case (_, qs, cs) =>
-        val corp = cs.map(r => (r._4, r._5)).toArray
-        if (corp.isEmpty) Iterator.empty
-        else qs.flatMap { case (_, _, _, src, qe) =>
-          topkHeap(k, qe, corp).map { case (s, dst) => (src, dst, s) }
+        val rows = cs.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val cell = new Cell(rows.map(_._4), rows.map(_._5), rows.map(_._6))
+          qs.flatMap { case (_, _, _, src, qe, qKeys) =>
+            topkCell(k, qKeys, qe, cell).map { case (s, dst) => (src, dst, s) }
+          }
         }
       }
 
-    // --- merge partial top-ks (dedup by dst); narrow rows only ---
+    // --- merge partial top-ks; narrow rows only. Cross-band dedup
+    // already guarantees each (src, dst) arrives at most once, so the
+    // merge is a streaming primitive top-k (a per-source sortBy here ran
+    // TimSort over boxed tuples and anti-scaled 45× at 32 threads) ---
     val ranked = scored
       .groupByKey(_._1)
       .flatMapGroups { (src, it) =>
-        val best = new scala.collection.mutable.HashMap[Long, Double]
-        it.foreach { case (_, dst, s) => if (!best.contains(dst)) best(dst) = s }
-        val top: Seq[(Double, Long)] =
-          best.iterator.map { case (d, s) => (s, d) }.toSeq
-            .sortBy(x => (-x._1, x._2)).take(k)
-        top.zipWithIndex.map { case ((s, id), r) => (src, id, s, r + 1) }
+        val buf = new TopKBuf(k)
+        it.foreach { case (_, dst, s) => buf.offer(s, dst) }
+        Iterator.tabulate(buf.n)(j => (src, buf.ids(j), buf.ss(j), j + 1))
       }
 
     // --- RSM calibration: per-source mu/sigma vs the negative sample ---

@@ -61,10 +61,24 @@ object Embedder {
     v
   }
 
+  /** 4-way unrolled dot — the hot kernel of LSH scoring and exact top-k
+    * (billions of calls per candidate stage). Independent accumulators
+    * break the add dependency chain (~2-3× ILP on this loop); double
+    * accumulation keeps ranking precision. Summation order is fixed, so
+    * results stay parallelism-independent. */
   def dot(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
-    s
+    val n = a.length
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    while (i < n - 3) {
+      s0 += a(i).toDouble * b(i)
+      s1 += a(i + 1).toDouble * b(i + 1)
+      s2 += a(i + 2).toDouble * b(i + 2)
+      s3 += a(i + 3).toDouble * b(i + 3)
+      i += 4
+    }
+    while (i < n) { s0 += a(i).toDouble * b(i); i += 1 }
+    (s0 + s1) + (s2 + s3)
   }
 
   /** Entities → embeddings table (reference S4/S5 as Parquet-able rows).

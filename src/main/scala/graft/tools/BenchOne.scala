@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{Pipeline, PipelineConfig}
+
+/** One full pipeline run at one parallelism level in a fresh JVM —
+  * isolates the N-vs-4N scaling measurement from same-JVM order effects
+  * (JIT state, heap debt) when diagnosing Bench variance.
+  * Args: cores [entitiesPerKg] [dim] [warmup(0|1)] */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 8
+    val e = if (args.length > 1) args(1).toInt else 50000
+    val dim = if (args.length > 2) args(2).toInt else 256
+    val warm = if (args.length > 3) args(3).toInt else 1
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // per-stage wall + task-time + GC accounting (diagnosis of anti-scaling)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        val m = si.taskMetrics
+        stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60), wall,
+          m.executorRunTime, m.jvmGCTime, m.shuffleWriteMetrics.bytesWritten))
+      }
+    })
+    def run(entities: Int): Double = {
+      val cfg = PipelineConfig(
+        synth = graft.ingest.SynthConfig(entitiesPerKg = entities),
+        embed = graft.embed.EmbedderConfig(dim = dim),
+        useLsh = Some(true))
+      val t0 = System.nanoTime()
+      require(Pipeline.runSynthetic(spark, cfg).canonicalTriples.count() > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (warm == 1) run(math.max(200, e / 10))
+    stages.clear()
+    val sec = run(e)
+    println(f"[benchone] cores=$cores e=$e dim=$dim sec=$sec%.2f docs_per_sec=${2.0 * e / sec}%.1f")
+    import scala.jdk.CollectionConverters._
+    val top = stages.asScala.toSeq.sortBy(-_._2._2).take(12)
+    top.foreach { case (id, (name, wall, run, gc, sw)) =>
+      println(f"[benchone] stage=$id%-4d wall=${wall / 1000.0}%7.1fs taskSum=${run / 1000.0}%8.1fs gc=${gc / 1000.0}%7.1fs shufW=${sw / 1e9}%6.2fGB  $name")
+    }
+    val totGc = stages.asScala.values.map(_._4).sum
+    val totRun = stages.asScala.values.map(_._3).sum
+    val totShuf = stages.asScala.values.map(_._5).sum
+    println(f"[benchone] TOTAL taskSum=${totRun / 1000.0}%.1fs gc=${totGc / 1000.0}%.1fs shufWrite=${totShuf / 1e9}%.2fGB stages=${stages.size}")
+    spark.stop()
+  }
+}
