@@ -101,6 +101,30 @@ object EmbedQueries {
        r AS (SELECT center, nb, row_number() OVER (PARTITION BY center ORDER BY seq) AS pos FROM d)
        SELECT center, pos, nb AS neighbor FROM r WHERE pos <= 5"""
 
+  // ---------- embedding-cosine near-dup (brute-force baseline) ----------
+
+  /** Embedding-cosine near-duplicate pairs — the brute-force baseline of
+    * the training-data dedup family (the scale path is the LSH-bucketed
+    * q_lsh_candidates). Threshold 0.3's nearest pair margin on the
+    * harness data is 7e-5, far above cross-engine double noise, so the
+    * pair SET is oracle-exact; only integer columns are emitted. */
+  def qCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("d1"), col("embedding").as("qe"), col("label").as("l1"))
+    val b = e.select(col("vec_id").as("d2"), col("embedding").as("ce"), col("label").as("l2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("cos", expr(cosExpr))
+      .filter(col("cos") >= 0.3)
+      .select(col("d1"), col("d2"),
+        when(col("l1") === col("l2"), 1L).otherwise(0L).as("same_label"))
+  }
+
+  val qCosineNearDupSql =
+    """SELECT a.vec_id AS d1, b.vec_id AS d2,
+       CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS BIGINT) AS same_label
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"""
+
   // ---------- A1 variant: per-relation neighbor grouping (Neighbors.py:18-28) ----------
 
   def qNeighborAggRel(spark: SparkSession, dir: String): DataFrame = {
@@ -218,6 +242,7 @@ object EmbedQueries {
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_cosine_topk" -> (qCosineTopK _, qCosineTopKSql),
+    "q_cosine_neardup" -> (qCosineNearDup _, qCosineNearDupSql),
     "q_hit_at_k" -> (qHitAtK _, qHitAtKSql),
     "q_neighbor_agg" -> (qNeighborAgg _, qNeighborAggSql),
     "q_neighbor_agg_rel" -> (qNeighborAggRel _, qNeighborAggRelSql),

@@ -195,6 +195,36 @@ object Queries {
     """SELECT c_custkey, length(c_name) AS name_len, ascii(c_name) AS first_cp,
        rpad(c_name, 20, ' ') AS padded FROM customer"""
 
+  // ---------- U3: deterministic batch interleave (content-derived) ----------
+
+  /** Batch interleave + seeded shuffle (U3 — model/layers_LaBSE_neighbor
+    * .py:355-359): the reference shuffles both KGs' batches with seed 37.
+    * Under distributed execution a global RNG is not reproducible, so
+    * the engine assigns batches by a content-derived Knuth hash
+    * (MoCoTrainer uses the same discipline) — expressible identically in
+    * ANSI SQL, so the interleave itself is oracle-checked: every batch
+    * mixes rows from both sources deterministically at any parallelism. */
+  def qSeededInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey").cast("long").as("id"), lit(1).as("src"))
+    val s = t(spark, dir, "supplier").select((col("s_suppkey") + 1000000).cast("long").as("id"), lit(2).as("src"))
+    c.unionByName(s)
+      .withColumn("batch", pmod(col("id") * 2654435761L, lit(64L)))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("src") === 1, 1L).otherwise(0L)).as("n_kg1"),
+        sum(when(col("src") === 2, 1L).otherwise(0L)).as("n_kg2"),
+        min(col("id")).as("first_id"))
+  }
+
+  val qSeededInterleaveSql =
+    """WITH u AS (SELECT CAST(c_custkey AS BIGINT) AS id, 1 AS src FROM customer
+                  UNION ALL SELECT CAST(s_suppkey + 1000000 AS BIGINT), 2 FROM supplier)
+       SELECT (id * 2654435761) % 64 AS batch, count(*) AS n,
+              CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kg1,
+              CAST(sum(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kg2,
+              min(id) AS first_id
+       FROM u GROUP BY 1"""
+
   // ---------- F1/W4 full scope: codepoint token features (get_token.py:25-41) ----------
 
   /** Full char-ordinal token vector per name — len 50, pad ord(' ')=32,
@@ -237,7 +267,8 @@ object Queries {
     "q_window_topk" -> (qWindowTopK _, qWindowTopKSql),
     "q_sorted_dict" -> (qSortedDict _, qSortedDictSql),
     "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql),
-    "q_token_features" -> (qTokenFeatures _, qTokenFeaturesSql)) ++
+    "q_token_features" -> (qTokenFeatures _, qTokenFeaturesSql),
+    "q_seeded_interleave" -> (qSeededInterleave _, qSeededInterleaveSql)) ++
     TextQueries.sqlChecked ++ EmbedQueries.sqlChecked
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
