@@ -14,12 +14,13 @@ object EmbedQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Cosine as explicit double arithmetic — same formula as DuckDB's
-    * list_cosine_similarity so cross-engine rank agreement holds. */
-  private val cosExpr =
-    """aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)
-       / sqrt(aggregate(qe, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       / sqrt(aggregate(ce, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+  /** Cosine via the native codegen expression (functions/VectorKernels):
+    * identical operation order to DuckDB's list_cosine_similarity double
+    * math (widen → sequential accumulate → divide by each norm), so
+    * cross-engine rank agreement holds, and the N×M scoring loop stays
+    * inside whole-stage codegen (VectorKernelsSpec asserts both). */
+  private def cosCol(spark: SparkSession) =
+    graft.functions.VectorKernels.cosineSim(spark, col("qe"), col("ce"))
 
   // ---------- J4 exact path: brute-force cosine top-k ----------
 
@@ -29,7 +30,7 @@ object EmbedQueries {
     val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
     q.join(broadcast(c), col("src") =!= col("dst"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos", cosCol(spark))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("src"), col("rank"), col("dst"))
@@ -113,7 +114,7 @@ object EmbedQueries {
     val a = e.select(col("vec_id").as("d1"), col("embedding").as("qe"), col("label").as("l1"))
     val b = e.select(col("vec_id").as("d2"), col("embedding").as("ce"), col("label").as("l2"))
     a.join(broadcast(b), col("d1") < col("d2"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos", cosCol(spark))
       .filter(col("cos") >= 0.3)
       .select(col("d1"), col("d2"),
         when(col("l1") === col("l2"), 1L).otherwise(0L).as("same_label"))

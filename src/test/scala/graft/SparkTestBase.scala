@@ -12,6 +12,8 @@ object SparkTestBase {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // exercise the cluster deployment path for graft's native expressions
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
