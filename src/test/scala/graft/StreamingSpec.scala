@@ -30,6 +30,85 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.sameElements(batch), s"stream=${streamed.length} batch=${batch.length}")
   }
 
+  test("watermarked windowed aggregation matches the batch aggregation") {
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = Files.createTempDirectory("graft_stream_events").toString
+    val static = spark.read.parquet(src)
+    static.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = graft.streaming.StreamingEvents.windowedCounts(spark, dir)
+      .writeStream.format("memory").queryName("stream_windows")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM stream_windows")
+      .collect().map(_.toString).sorted
+    // read the batch side with the SAME explicit schema the stream uses
+    // (inference gives TIMESTAMP_NTZ for this pandas-written parquet)
+    val batch = graft.streaming.StreamingEvents.windowedCountsBatch(
+      spark.read.schema(graft.streaming.StreamingEvents.eventSchema).parquet(dir))
+      .collect().map(_.toString).sorted
+    assert(streamed.length > 10)
+    assert(streamed.sameElements(batch), s"stream=${streamed.length} batch=${batch.length}")
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState + event-time timeout) matches batch") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = Files.createTempDirectory("graft_stream_sess")
+    val stage = Files.createTempDirectory("graft_stream_sess_stage").toString
+
+    // file 0: the real events; file 1: a single far-future sentinel event
+    // that advances the watermark past every real session's last+gap so
+    // all event-time timeouts fire (the standard end-of-stream flush).
+    // Built in DataFrame land so the parquet timestamp typing matches f0.
+    src.coalesce(1).write.mode("overwrite").parquet(s"$stage/f0")
+    src.agg(max(col("ts")).as("mts"))
+      .select(lit(-1L).as("event_id"), (col("mts") + expr("INTERVAL 30 DAYS")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/f1")
+    def movePart(from: String, to: String, mtimeOffsetSec: Long): Unit = {
+      val part = new java.io.File(from).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(to)
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetSec * 1000))
+    }
+    movePart(s"$stage/f0", "000.parquet", -60) // older modTime → first micro-batch
+    movePart(s"$stage/f1", "001.parquet", 0)
+
+    val q = graft.streaming.StreamingEvents
+      .sessions(spark, dir.toString, gapSec = 1800, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.sql(
+      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+         FROM stream_sessions WHERE user_id >= 0 GROUP BY user_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+    // batch oracle: the q_sessionize gap rule at millisecond precision,
+    // using the IDENTICAL ts→ms expression the stream uses so truncation
+    // can never disagree
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsMs").asc, col("event_id").asc)
+    val batch = spark.read.schema(graft.streaming.StreamingEvents.eventSchema)
+      .parquet(dir.toString).filter(col("user_id") >= 0)
+      .withColumn("tsMs", (col("ts").cast("double") * 1000).cast("long"))
+      .withColumn("gap", col("tsMs") - lag(col("tsMs"), 1).over(w))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800 * 1000, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+    assert(streamed.length == batch.length && streamed.length > 5,
+      s"user counts differ: stream=${streamed.length} batch=${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("batch/stream parity holds on adjacent rel_ tokens (overlap windows)") {
     // "a rel_1 rel_2 b": both windows match — the batch parse must not
     // consume-after-match (it used to emit 1 triple here, the stream 2)
