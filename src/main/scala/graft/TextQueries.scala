@@ -109,15 +109,15 @@ object TextQueries {
               m0, m1, m2, m3, m4, m5, m6, m7 FROM sig"""
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing either band key. */
+  /** MinHash-LSH candidate pairs: docs sharing either band key. Pair
+    * enumeration goes through PairBlocking so a hot band key (e.g. the
+    * boilerplate-text bucket at corpus scale) tiles across tasks instead
+    * of stalling the stage on one straggler; the pair SET is exact. */
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = qMinhashSig(spark, dir)
     val bands = sig.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
       .unionByName(sig.select(col("doc_id"), lit(1).as("band"), col("band1").as("key")))
-    bands.toDF("d1", "band", "key")
-      .join(bands.toDF("d2", "band", "key"), Seq("band", "key"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    graft.candidates.PairBlocking.pairs(bands, cap = 4096).distinct()
   }
 
   val qMinhashPairsSql =
@@ -158,6 +158,42 @@ object TextQueries {
          GROUP BY doc_id, j)
        SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
        FROM bits GROUP BY doc_id"""
+
+  // ---------- SimHash near-dup pairs (banded Hamming join) ----------
+
+  /** SimHash near-duplicate pairs: hamming(s1, s2) ≤ 2 over the 16-bit
+    * signatures, found by banded blocking — 4 bands of 4 bits; by
+    * pigeonhole a pair within Hamming distance 2 differs in at most 2
+    * bands, so it shares at least one band key and the blocking is
+    * LOSSLESS (the oracle proves it: same pair set as the all-pairs
+    * scan). The block join goes through PairBlocking, so the inevitable
+    * hot nibble buckets (16 possible keys per band) tile across tasks;
+    * at production signature widths (64+ bits) band keys are 16-bit+
+    * and buckets shrink accordingly. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qSimhash(spark, dir)
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("doc_id"), col("j").as("band"),
+        expr("shiftright(simhash, j * 4) % 16").as("key"))
+    val pairs = graft.candidates.PairBlocking.pairs(bands, cap = 4096).distinct()
+    val s = sig.select(col("doc_id"), col("simhash"))
+    pairs
+      .join(s.toDF("d1", "s1"), Seq("d1"))
+      .join(s.toDF("d2", "s2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("CAST(bit_count(s1 ^ s2) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 2)
+  }
+
+  val qSimhashPairsSql =
+    s"""WITH sig AS ($qSimhashSql),
+       bands AS (SELECT doc_id, simhash, j, (simhash >> CAST(j * 4 AS INT)) % 16 AS key
+                 FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+                FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT d1, d2, hamming FROM cand WHERE hamming <= 2"""
 
   // ---------- token counting ----------
 
@@ -229,6 +265,7 @@ object TextQueries {
     "q_minhash_sig" -> (qMinhashSig _, qMinhashSigSql),
     "q_minhash_pairs" -> (qMinhashPairs _, qMinhashPairsSql),
     "q_simhash" -> (qSimhash _, qSimhashSql),
+    "q_simhash_pairs" -> (qSimhashPairs _, qSimhashPairsSql),
     "q_token_count" -> (qTokenCount _, qTokenCountSql),
     "q_quality_score" -> (qQualityScore _, qQualityScoreSql),
     "q_lang_id" -> (qLangId _, qLangIdSql),
