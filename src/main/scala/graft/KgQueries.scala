@@ -50,6 +50,18 @@ object KgQueries {
       .select(col("srcId"), col("dstId"), col("rank"))
   }
 
+  /** IVF-blocked (inverted-file) top-k over the harness embeddings —
+    * the coarse-quantizer ANN scale path (recall gated vs exact in
+    * OperatorSpec; see candidates/IvfTopK for the LSH-vs-IVF tradeoff). */
+  def qIvfCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb")).as[Emb]
+    val q = e.filter(_.id < 50)
+    graft.candidates.IvfTopK.topK(spark, q, e.filter(_.id >= 50), 5).toDF()
+      .select(col("srcId"), col("dstId"), col("rank"))
+  }
+
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -100,6 +112,7 @@ object KgQueries {
     "q_kg_canonical_triples" -> (qKgCanonicalTriples _),
     "q_kg_alignment" -> (qKgAlignment _),
     "q_lsh_candidates" -> (qLshCandidates _),
+    "q_ivf_candidates" -> (qIvfCandidates _),
     "q_kg_neighbor_blocks" -> (qKgNeighborBlocks _),
     "q_media_features" -> (qMediaFeatures _))
 }

@@ -8,7 +8,7 @@ import graft.extract.Extraction
 import graft.embed.{Embedder, EmbedderConfig}
 import graft.graph.NeighborAgg
 import graft.align.{GatWeights, MoCoTrainer, MoCoConfig}
-import graft.candidates.{ExactTopK, LshTopK}
+import graft.candidates.{ExactTopK, IvfTopK, LshTopK}
 import graft.canon.ConnectedComponents
 import graft.tableio.TableIO
 
@@ -38,6 +38,10 @@ final case class PipelineConfig(
       * Both paths emit the same RSM z-score scale, so rsmThreshold is
       * path-independent. */
     useLsh: Option[Boolean] = None,
+    /** Force the IVF coarse-quantizer candidate path (candidates/IvfTopK)
+      * — takes precedence over useLsh/auto. Same RSM score scale as the
+      * other two paths, so rsmThreshold stays path-independent. */
+    useIvf: Boolean = false,
     useMoco: Boolean = false,
     topK: Int = Dims.TopK,
     /** auto path: corpus floats (rows × dim) above this → LSH. 5e7 floats
@@ -148,7 +152,8 @@ object Pipeline {
       corpusRows * cfg.embed.dim > cfg.exactPathMaxFloats
     }
     val cands =
-      if (wantLsh) LshTopK.topK(spark, q1, c2, cfg.topK)
+      if (cfg.useIvf) IvfTopK.topK(spark, q1, c2, cfg.topK)
+      else if (wantLsh) LshTopK.topK(spark, q1, c2, cfg.topK)
       else ExactTopK.topK(spark, q1, c2, cfg.topK)
 
     // ---- stage 5: canonicalization ----

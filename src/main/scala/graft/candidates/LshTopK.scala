@@ -156,9 +156,10 @@ object LshTopK {
   }
 
   /** Corpus side of one scoring cell as parallel primitive arrays — no
-    * per-element tuple boxing in the inner loop. */
-  private final class Cell(val ids: Array[Long], val embs: Array[Array[Short]],
-                           val keys: Array[Array[Long]]) {
+    * per-element tuple boxing in the inner loop. Shared with [[IvfTopK]]
+    * (which passes empty key prefixes — no cross-band dedup needed). */
+  private[candidates] final class Cell(val ids: Array[Long], val embs: Array[Array[Short]],
+                                       val keys: Array[Array[Long]]) {
     def size: Int = ids.length
   }
 
@@ -167,7 +168,7 @@ object LshTopK {
     * encounter order). k ≤ 10: linear insert into parallel primitive
     * arrays; boxed PriorityQueue/sortBy comparators in these loops
     * dominated jstack samples and anti-scaled at 32 threads. */
-  private final class TopKBuf(k: Int) {
+  private[candidates] final class TopKBuf(k: Int) {
     val ss = new Array[Double](k)
     val ids = new Array[Long](k)
     var n = 0
@@ -184,8 +185,8 @@ object LshTopK {
   }
 
   /** Top-k of one query against a cell: allocation-free inner loop. */
-  private def topkCell(k: Int, qKeys: Array[Long], qe: Array[Short],
-                       cell: Cell): Iterator[(Double, Long)] = {
+  private[candidates] def topkCell(k: Int, qKeys: Array[Long], qe: Array[Short],
+                                   cell: Cell): Iterator[(Double, Long)] = {
     val buf = new TopKBuf(k)
     var i = 0
     val m = cell.size
@@ -196,6 +197,30 @@ object LshTopK {
       i += 1
     }
     Iterator.tabulate(buf.n)(j => (buf.ss(j), buf.ids(j)))
+  }
+
+  /** Per-source RSM calibration rows (id, mu, sigma): Welford moments of
+    * each query's cosine against the broadcast negative sample — the
+    * relative-similarity-metric denominator shared by every candidate
+    * path (LSH, IVF; the exact path fuses it into its scan). */
+  private[candidates] def rsmCalib(
+      queries: Dataset[Emb],
+      negBc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): Dataset[(Long, Double, Double)] = {
+    import queries.sparkSession.implicits._
+    queries.mapPartitions { it =>
+      val negs = negBc.value
+      it.map { q =>
+        var mu = 0.0; var m2 = 0.0; var n = 0L
+        var i = 0
+        while (i < negs.length) {
+          val s = Embedder.dot(q.emb, negs(i))
+          n += 1; val d = s - mu; mu += d / n; m2 += d * (s - mu)
+          i += 1
+        }
+        val sigma = if (n > 1) math.sqrt(m2 / (n - 1)) else 1.0
+        (q.id, mu, sigma)
+      }
+    }
   }
 
   def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
@@ -324,20 +349,7 @@ object LshTopK {
       }
 
     // --- RSM calibration: per-source mu/sigma vs the negative sample ---
-    val calib = qP.mapPartitions { it =>
-      val negs = negBc.value
-      it.map { q =>
-        var mu = 0.0; var m2 = 0.0; var n = 0L
-        var i = 0
-        while (i < negs.length) {
-          val s = Embedder.dot(q.emb, negs(i))
-          n += 1; val d = s - mu; mu += d / n; m2 += d * (s - mu)
-          i += 1
-        }
-        val sigma = if (n > 1) math.sqrt(m2 / (n - 1)) else 1.0
-        (q.id, mu, sigma)
-      }
-    }
+    val calib = rsmCalib(qP, negBc)
     ranked.toDF("srcId", "dstId", "cos", "rank")
       .join(calib.toDF("srcId", "mu", "sigma"), "srcId")
       .as[(Long, Long, Double, Int, Double, Double)]

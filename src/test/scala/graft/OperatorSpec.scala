@@ -4,7 +4,7 @@ import graft.kg._
 import graft.graph.{Edge, OrderedDedupAgg, NeighborAgg}
 import graft.embed.{Embedder, EmbedderConfig}
 import graft.align.{GatKernel, MoCoTrainer, MoCoConfig}
-import graft.candidates.{ExactTopK, LshTopK}
+import graft.candidates.{ExactTopK, IvfTopK, LshTopK}
 import graft.canon.ConnectedComponents
 import org.scalatest.prop.TableDrivenPropertyChecks
 
@@ -133,6 +133,48 @@ class OperatorSpec extends SparkTestBase {
     // path remains the oracle there (SURVEY.md §7.5 item 6)
     val r = lshRecall(0.15)
     assert(r >= 0.6, s"adversarial recall: $r")
+  }
+
+  // ---------- J4 alternative scale path: IVF coarse quantizer ----------
+
+  private def ivfFixture(surfaceNoise: Double) = {
+    val cfg = EmbedderConfig(dim = 48)
+    val synth = graft.ingest.SynthConfig(entitiesPerKg = 150, surfaceNoise = surfaceNoise)
+    val ents = graft.ingest.DocSynthesizer.entities(spark, synth)
+    val embs = Embedder.embedEntities(spark, ents, cfg)
+    (embs.filter(e => e.id < 1000000L), embs.filter(e => e.id >= 1000000L))
+  }
+
+  test("IVF top-k recall@5 >= 0.9 of exact top-1 (fr_en-like fixture)") {
+    val (q, c) = ivfFixture(0.05)
+    val exact1 = ExactTopK.topK(spark, q, c, 1).filter(_.rank == 1)
+      .collect().map(x => (x.srcId, x.dstId)).toSet
+    val ivf5 = IvfTopK.topK(spark, q, c, 5).collect()
+      .map(x => (x.srcId, x.dstId)).toSet
+    val r = exact1.count(ivf5.contains).toDouble / exact1.size
+    assert(r >= 0.9, s"IVF recall of exact top-1 within its top-5: $r")
+  }
+
+  test("IVF candidates are identical at different parallelism (2 vs 8)") {
+    val (q, c) = ivfFixture(0.05)
+    val a = IvfTopK.topK(spark, q.repartition(2), c.repartition(2), 5)
+      .collect().map(x => (x.srcId, x.dstId, x.rank)).sortBy(t => (t._1, t._3))
+    val b = IvfTopK.topK(spark, q.repartition(8), c.repartition(8), 5)
+      .collect().map(x => (x.srcId, x.dstId, x.rank)).sortBy(t => (t._1, t._3))
+    assert(a.sameElements(b), "IVF candidate set must not depend on partitioning")
+  }
+
+  test("IVF salt tiling: hot-cell fixture (all vectors near one centroid) stays exact-set") {
+    // tiny bucketCap forces the 2-D tiling path; candidate SET must equal
+    // the untiled run's (every pair still meets in exactly one cell)
+    val (q, c) = ivfFixture(0.05)
+    val base = IvfTopK.topK(spark, q, c, 5,
+      IvfTopK.IvfConfig(nCells = 4, nProbe = 2))
+      .collect().map(x => (x.srcId, x.dstId)).toSet
+    val tiled = IvfTopK.topK(spark, q, c, 5,
+      IvfTopK.IvfConfig(nCells = 4, nProbe = 2, bucketCap = 8))
+      .collect().map(x => (x.srcId, x.dstId)).toSet
+    assert(tiled == base, s"tiling changed the candidate set: ${tiled.size} vs ${base.size}")
   }
 
   // ---------- CC: known component structure ----------

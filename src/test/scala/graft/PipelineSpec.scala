@@ -63,6 +63,18 @@ class PipelineSpec extends SparkTestBase {
     assert(m.getDouble(0) >= 0.5, s"LSH-path hit@1 ${m.getDouble(0)}")
   }
 
+  test("IVF path emits RSM-scale scores and merges like the exact path") {
+    val r = Pipeline.runSynthetic(spark, cfg.copy(useIvf = true))
+    val ivfComps = r.components.count()
+    val exactComps = result.components.count()
+    assert(ivfComps > 0, "IVF path accepted no canonicalization edges")
+    assert(ivfComps.toDouble >= exactComps.toDouble * 0.5,
+      s"IVF merges $ivfComps far below exact $exactComps")
+    val gold = DocSynthesizer.goldLinks(spark, cfg.synth)
+    val m = Metrics.hitAtK(spark, r.alignment, gold).head()
+    assert(m.getDouble(0) >= 0.5, s"IVF-path hit@1 ${m.getDouble(0)}")
+  }
+
   test("auto candidate path: big corpus → LSH, small corpus → exact broadcast") {
     // default fixture (80 ents × dim 48) fits the broadcast budget → exact
     assert(!result.usedLsh)
