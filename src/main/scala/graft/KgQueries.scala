@@ -108,6 +108,45 @@ object KgQueries {
     }.toDF("doc_id", "n_bytes", "feat_fp")
   }
 
+  /** Frame-sample the stand-in media payloads (stride 32) and emit the
+    * per-doc frame inventory. The DuckDB twin derives the same counts
+    * arithmetically from the byte length — so the oracle checks the
+    * generator's chunk arithmetic AND the reassembly invariant
+    * (sum of frame bytes = payload bytes) per row. */
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.extract.MediaKernels.harnessMedia(spark, dir)
+      .filter(r => r.payload.nonEmpty)
+    graft.extract.MediaKernels.frameSample(media, 32).toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(length(col("frame"))).cast("long").as("sum_frame_bytes"),
+        max(length(col("frame"))).cast("long").as("max_frame_bytes"))
+  }
+
+  val qMediaFramesSql =
+    """SELECT doc_id,
+       CAST((strlen(text) + 31) // 32 AS BIGINT) AS n_frames,
+       CAST(strlen(text) AS BIGINT) AS sum_frame_bytes,
+       CAST(least(strlen(text), 32) AS BIGINT) AS max_frame_bytes
+       FROM documents WHERE strlen(text) > 0"""
+
+  /** Resize (sample-decimate by 4) the stand-in media payloads; the twin
+    * checks the output-size arithmetic per row. */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.extract.MediaKernels.harnessMedia(spark, dir)
+      .filter(r => r.payload.nonEmpty)
+    graft.extract.MediaKernels.resize(media, 4).toDF()
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes_out"))
+  }
+
+  val qMediaResizeSql =
+    """SELECT doc_id, CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_bytes_out
+       FROM documents WHERE strlen(text) > 0"""
+
+  val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_media_frames" -> (qMediaFrames _, qMediaFramesSql),
+    "q_media_resize" -> (qMediaResize _, qMediaResizeSql))
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kg_canonical_triples" -> (qKgCanonicalTriples _),
     "q_kg_alignment" -> (qKgAlignment _),

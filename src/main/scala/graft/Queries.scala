@@ -269,7 +269,7 @@ object Queries {
     "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql),
     "q_token_features" -> (qTokenFeatures _, qTokenFeaturesSql),
     "q_seeded_interleave" -> (qSeededInterleave _, qSeededInterleaveSql)) ++
-    TextQueries.sqlChecked ++ EmbedQueries.sqlChecked
+    TextQueries.sqlChecked ++ EmbedQueries.sqlChecked ++ KgQueries.sqlChecked
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqlChecked.map { case (k, (f, _)) => k -> f } ++ KgQueries.rowsOnly

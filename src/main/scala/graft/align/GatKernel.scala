@@ -13,16 +13,23 @@ import graft.util.DetHash._
   * attention-weighted neighbor sum, combined with the center row and
   * L2-normalized.
   *
-  * Divergence (documented, SURVEY.md §7.5 item 5): no pretrained weights
-  * exist in this sandbox, so the projection W is the identity, the
-  * attention vectors are deterministic seeded unit vectors, and the
-  * combine MLP [center ∥ gatOut] → dim is parameterized by a single
-  * mixing weight alpha (trained by the MoCo loop, MoCoTrainer.scala).
-  * The matrices are 20×dim — driver-free, partition-local, no
-  * distributed matmul (SURVEY.md §2.7 F5).
+  * Combine MLP (F6, model/layers_LaBSE_neighbor.py:85-87): two forms.
+  * The FULL form is a real Linear(2·dim → dim) — `combine` holds the
+  * row-major weight matrix, gradient-trained by the MoCo loop
+  * (MoCoTrainer.trainCombine) exactly like the reference's
+  * `Linear(1536, 768)`. The LIGHT form (combine = null) collapses the
+  * matrix to `[I | alpha·I]` — one mixing scalar — which is also the
+  * full form's deterministic initialization (initCombine), so the two
+  * paths coincide at epoch 0. Divergence retained (SURVEY.md §7.5 item
+  * 5): the GAT projection W stays identity and the attention vectors are
+  * deterministic seeded unit vectors (no pretrained weights exist in
+  * this sandbox). The matrices are ≤ dim×2dim — driver-free,
+  * partition-local, no distributed matmul (SURVEY.md §2.7 F5).
   */
-final case class GatWeights(attnSrc: Array[Float], attnDst: Array[Float], alpha: Float) {
+final case class GatWeights(attnSrc: Array[Float], attnDst: Array[Float], alpha: Float,
+                            combine: Array[Float] = null) {
   def withAlpha(a: Float): GatWeights = copy(alpha = a)
+  def withCombine(w: Array[Float]): GatWeights = copy(combine = w)
 }
 
 object GatKernel {
@@ -52,13 +59,16 @@ object GatKernel {
     s
   }
 
-  /** Forward pass for one neighbor block → L2-normalized output vector.
-    * Operates on the flat row-major block (see NeighborBlock). */
-  def forward(w: GatWeights, block: NeighborBlock): Array[Float] = {
+  /** Attention stage only: (center row, attention-weighted neighbor sum).
+    * Depends on the (fixed) attention vectors but NOT on the combine
+    * weights — so a combine-training loop can precompute it once per row
+    * (model/layers_LaBSE_neighbor.py:160-178). agg = 0 for singletons. */
+  def attnParts(w: GatWeights, block: NeighborBlock): (Array[Float], Array[Float]) = {
     val flat = block.emb
     val n = block.validLen
     val dim = flat.length / n
-    if (n <= 1) return Embedder.l2n(java.util.Arrays.copyOf(flat, dim))
+    val center = java.util.Arrays.copyOf(flat, dim)
+    if (n <= 1) return (center, new Array[Float](dim))
     @inline def rowDot(v: Array[Float], r: Int): Double = {
       var s = 0.0; var j = 0; val off = r * dim
       while (j < dim) { s += v(j).toDouble * flat(off + j); j += 1 }
@@ -87,12 +97,58 @@ object GatKernel {
       while (j < dim) { agg(j) += (a * flat(off + j)).toFloat; j += 1 }
       i += 1
     }
-    // combine [center ∥ gatOut] → center + alpha * gatOut, then normalize
-    // (model/layers_LaBSE_neighbor.py:85-87,127-131)
-    val out = new Array[Float](dim)
-    var j = 0
-    while (j < dim) { out(j) = flat(j) + w.alpha * agg(j); j += 1 }
-    Embedder.l2n(out)
+    (center, agg)
+  }
+
+  /** u = W·[c ∥ g] for row-major W (dim × 2dim), double accumulation. */
+  def matvec2(wm: Array[Float], c: Array[Float], g: Array[Float]): Array[Float] = {
+    val d = c.length
+    val out = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      val off = i * 2 * d
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += wm(off + j).toDouble * c(j); j += 1 }
+      j = 0
+      while (j < d) { s += wm(off + d + j).toDouble * g(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** `[I | alpha·I]` — the combine matrix that reproduces the light
+    * (scalar-alpha) path; the deterministic init of combine training. */
+  def initCombine(dim: Int, alpha: Float): Array[Float] = {
+    val wm = new Array[Float](dim * 2 * dim)
+    var i = 0
+    while (i < dim) {
+      wm(i * 2 * dim + i) = 1f
+      wm(i * 2 * dim + dim + i) = alpha
+      i += 1
+    }
+    wm
+  }
+
+  /** Combine MLP: [center ∥ gatOut] → dim, then L2-normalize
+    * (model/layers_LaBSE_neighbor.py:85-87,127-131). Full Linear when
+    * combine weights are present, scalar-alpha mix otherwise. */
+  def combineOut(w: GatWeights, center: Array[Float], agg: Array[Float]): Array[Float] =
+    if (w.combine != null) Embedder.l2n(matvec2(w.combine, center, agg))
+    else {
+      val dim = center.length
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { out(j) = center(j) + w.alpha * agg(j); j += 1 }
+      Embedder.l2n(out)
+    }
+
+  /** Forward pass for one neighbor block → L2-normalized output vector.
+    * Operates on the flat row-major block (see NeighborBlock). */
+  def forward(w: GatWeights, block: NeighborBlock): Array[Float] = {
+    val (center, agg) = attnParts(w, block)
+    combineOut(w, center, agg)
   }
 
   /** Small local alias to avoid a package cycle. */

@@ -40,7 +40,23 @@ final case class MoCoConfig(
       * every 10 epochs — the analog of the reference's LR schedule (F8,
       * model/layers_LaBSE_neighbor.py:53-57: lr halves every 10 epochs;
       * alpha is this trainer's only free parameter). */
-    alphaStep: Float = 0.1f)
+    alphaStep: Float = 0.1f,
+    /** true → gradient-train the FULL combine Linear(2·dim → dim)
+      * (trainCombine) instead of the scalar-alpha line search. */
+    trainCombine: Boolean = false,
+    /** SGD base learning rate for combine training; halves every 10
+      * epochs (F8, model/layers_LaBSE_neighbor.py:53-57 — the SCHEDULE is
+      * the reference's; the base value is not: the reference fine-tunes
+      * pretrained LaBSE at 1e-6, this sandbox trains a fresh layer over
+      * hash features, which wants a fresh-layer-scale lr). */
+    lr0: Double = 0.05,
+    /** fixed virtual-shard count for combine training: rows are hashed to
+      * combineShards shards regardless of cluster parallelism, each shard
+      * runs its own sequential queue/SGD pass, and the driver averages
+      * shard weights per epoch (local SGD). Fixing the shard count — not
+      * inheriting spark.sql.shuffle.partitions — is what makes the result
+      * bit-identical at N vs 4N cores (SURVEY.md §7.5 item 2). */
+    combineShards: Int = 32)
 
 object MoCoTrainer {
 
@@ -117,6 +133,183 @@ object MoCoTrainer {
     }
   }
 
+  /** One combine-training epoch: every shard starts from the same
+    * broadcast (query, key) weights, runs the MoCo queue discipline
+    * sequentially over its content-hashed rows, and SGD-steps its local
+    * copy per batch; the driver pair-weight-averages shard weights in
+    * shard-id order (deterministic float summation). lr = 0 turns the
+    * pass into a pure loss evaluation (used by tests).
+    *
+    * Per positive pair the gradient flows through q = normalize(W·x)
+    * only (x = [center ∥ gatOut] is fixed — attention is not trained;
+    * key encodings and negatives are stop-grad, reference
+    * :430-436 `no_grad`): dL/dq = (softmax − onehot₀)·K / t,
+    * dL/du = (dL/dq − q(q·dL/dq)) / ‖u‖, dL/dW = dL/du ⊗ x. */
+  def combineEpoch(spark: SparkSession, blocks: Dataset[NeighborBlock], base: GatWeights,
+                   wq0: Array[Float], wk0: Array[Float], lr: Double, cfg: MoCoConfig): (Array[Float], Array[Float], Double) = {
+    import spark.implicits._
+    val bcBase = spark.sparkContext.broadcast(base)
+    val bcQ = spark.sparkContext.broadcast(wq0)
+    val bcK = spark.sparkContext.broadcast(wk0)
+    val states = blocks
+      .map(b => (graft.util.DetHash.h1(Dims.Seed, b.id), b))(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.product[NeighborBlock]))
+      .repartition(cfg.combineShards, org.apache.spark.sql.functions.col("_1"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1).map(_._2) // deterministic batch order
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val baseW = bcBase.value
+          val w = bcQ.value.clone()   // query-encoder combine weights
+          val wk = bcK.value.clone()  // momentum key-encoder copy (T2)
+          val dim = rows.head.emb.length / rows.head.validLen
+          val d2 = 2 * dim
+          // attention is fixed → precompute x = (center, agg) once per row
+          val xs = rows.map(b => GatKernel.attnParts(baseW, b))
+          val kgs = rows.map(_.kg)
+          val t = cfg.temperature
+          var loss = 0.0
+          var nPairs = 0L
+          val grad = new Array[Double](w.length)
+          val queues = Map(1 -> new scala.collection.mutable.ArrayDeque[Array[Array[Float]]](),
+                           2 -> new scala.collection.mutable.ArrayDeque[Array[Array[Float]]]())
+          rows.indices.grouped(cfg.batchSize).foreach { batch =>
+            java.util.Arrays.fill(grad, 0.0)
+            var stepPairs = 0
+            batch.groupBy(kgs(_)).toSeq.sortBy(_._1).foreach { case (kg, is) =>
+              val q = queues.getOrElse(kg, queues(1))
+              val kEmbs = is.map { i =>
+                val (c, g) = xs(i)
+                graft.embed.Embedder.l2normalize(GatKernel.matvec2(wk, c, g))
+              }
+              if (q.size >= cfg.queueLen) {
+                val posBatch = q.removeHead()
+                val negs = q.iterator.flatten.toArray
+                is.take(posBatch.length).zipWithIndex.foreach { case (i, bi) =>
+                  val (c, g) = xs(i)
+                  val u = GatKernel.matvec2(w, c, g)
+                  var nu = 0.0
+                  var j = 0
+                  while (j < dim) { nu += u(j).toDouble * u(j); j += 1 }
+                  nu = math.sqrt(nu)
+                  val qv = new Array[Double](dim)
+                  j = 0
+                  while (j < dim) { qv(j) = u(j) / nu; j += 1 }
+                  @inline def qdot(kv: Array[Float]): Double = {
+                    var s = 0.0
+                    var jj = 0
+                    while (jj < dim) { s += qv(jj) * kv(jj); jj += 1 }
+                    s
+                  }
+                  // logits [pos, negs...] / t; softmax; CE at label 0
+                  val lPos = qdot(kEmbs(bi)) / t
+                  var maxL = lPos
+                  val lNeg = new Array[Double](negs.length)
+                  var n = 0
+                  while (n < negs.length) { lNeg(n) = qdot(negs(n)) / t; if (lNeg(n) > maxL) maxL = lNeg(n); n += 1 }
+                  var z = math.exp(lPos - maxL)
+                  n = 0
+                  while (n < negs.length) { z += math.exp(lNeg(n) - maxL); n += 1 }
+                  loss += -(lPos - maxL - math.log(z))
+                  nPairs += 1
+                  stepPairs += 1
+                  if (lr != 0.0) {
+                    // dL/dq = Σ_j (p_j − δ_j0)·k_j / t
+                    val dq = new Array[Double](dim)
+                    val pPos = math.exp(lPos - maxL) / z
+                    j = 0
+                    while (j < dim) { dq(j) = (pPos - 1.0) * kEmbs(bi)(j) / t; j += 1 }
+                    n = 0
+                    while (n < negs.length) {
+                      val p = math.exp(lNeg(n) - maxL) / z
+                      j = 0
+                      while (j < dim) { dq(j) += p * negs(n)(j) / t; j += 1 }
+                      n += 1
+                    }
+                    // dL/du = (dq − q(q·dq)) / ‖u‖
+                    var qdq = 0.0
+                    j = 0
+                    while (j < dim) { qdq += qv(j) * dq(j); j += 1 }
+                    val gu = new Array[Double](dim)
+                    j = 0
+                    while (j < dim) { gu(j) = (dq(j) - qv(j) * qdq) / nu; j += 1 }
+                    // dL/dW += gu ⊗ [c ∥ g]
+                    var r = 0
+                    while (r < dim) {
+                      val off = r * d2
+                      val gr = gu(r)
+                      j = 0
+                      while (j < dim) { grad(off + j) += gr * c(j); j += 1 }
+                      j = 0
+                      while (j < dim) { grad(off + dim + j) += gr * g(j); j += 1 }
+                      r += 1
+                    }
+                  }
+                }
+              }
+              q.append(kEmbs.toArray)
+            }
+            // SGD step on the batch-mean gradient, then EMA the key copy
+            // after every step (:497, momentum :47)
+            if (lr != 0.0 && stepPairs > 0) {
+              val scale = lr / stepPairs
+              var j = 0
+              while (j < w.length) { w(j) = (w(j) - scale * grad(j)).toFloat; j += 1 }
+              val m = cfg.momentum
+              j = 0
+              while (j < w.length) { wk(j) = (m * wk(j) + (1 - m) * w(j)).toFloat; j += 1 }
+            }
+          }
+          Iterator.single((org.apache.spark.TaskContext.getPartitionId(), w, wk, nPairs, loss, rows.length.toLong))
+        }
+      }
+      .collect()
+    val withPairs = states.filter(_._4 > 0).sortBy(_._1) // shard-id order: fixed merge order
+    if (withPairs.isEmpty) (wq0, wk0, 0.0)
+    else {
+      val totPairs = withPairs.map(_._4).sum.toDouble
+      val len = wq0.length
+      val accQ = new Array[Double](len)
+      val accK = new Array[Double](len)
+      withPairs.foreach { case (_, w, wk, pairs, _, _) =>
+        val wt = pairs / totPairs
+        var j = 0
+        while (j < len) { accQ(j) += wt * w(j); accK(j) += wt * wk(j); j += 1 }
+      }
+      val loss = withPairs.map(_._5).sum / totPairs
+      (accQ.map(_.toFloat), accK.map(_.toFloat), loss)
+    }
+  }
+
+  /** Gradient training of the full combine Linear(2·dim → dim): local
+    * SGD over fixed content-hashed shards with per-epoch weight
+    * averaging; EMA'd key copy (T2/F7) carried across epochs; lr halves
+    * every 10 epochs (F8). Returns weights with `combine` set. The
+    * `eval` hook mirrors train()'s best-by-metric discipline (A5). */
+  def trainCombine(spark: SparkSession, blocks: Dataset[NeighborBlock], dim: Int,
+                   cfg: MoCoConfig = MoCoConfig(),
+                   eval: Option[GatWeights => Double] = None): GatWeights = {
+    val base = GatKernel.initWeights(dim)
+    var w = GatKernel.initCombine(dim, base.alpha)
+    var wk = w.clone()
+    var cur = base.withCombine(w)
+    var best = cur
+    var bestScore = Double.NegativeInfinity
+    var e = 0
+    while (e < cfg.epochs) {
+      val lr = cfg.lr0 * math.pow(0.5, e / 10) // F8: halve every 10 epochs
+      val (w2, wk2, _) = combineEpoch(spark, blocks, base, w, wk, lr, cfg)
+      w = w2; wk = wk2
+      cur = base.withCombine(w)
+      eval.foreach { f =>
+        val s = f(cur)
+        if (s > bestScore) { bestScore = s; best = cur }
+      }
+      e += 1
+    }
+    if (eval.isDefined) best else cur
+  }
+
   /** Training loop. Epoch 0 searches the coarse alphaGrid; later epochs
     * refine around the current alpha with a step that HALVES every 10
     * epochs — the analog of the reference LR schedule (F8,
@@ -130,6 +323,7 @@ object MoCoTrainer {
   def train(spark: SparkSession, blocks: Dataset[NeighborBlock], dim: Int,
             cfg: MoCoConfig = MoCoConfig(),
             eval: Option[GatWeights => Double] = None): GatWeights = {
+    if (cfg.trainCombine) return trainCombine(spark, blocks, dim, cfg, eval)
     var w = GatKernel.initWeights(dim)
     var best = w
     var bestScore = Double.NegativeInfinity

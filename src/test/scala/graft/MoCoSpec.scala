@@ -49,6 +49,40 @@ class MoCoSpec extends SparkTestBase {
     assert(w.alpha >= 0f && w.alpha <= 1f)
   }
 
+  test("combine init [I | alpha*I] reproduces the scalar-alpha forward") {
+    val w = GatKernel.initWeights(32).withAlpha(0.3f)
+    val wFull = w.withCombine(GatKernel.initCombine(32, 0.3f))
+    val bs = blocks(4).collect()
+    assert(bs.nonEmpty)
+    bs.foreach { b =>
+      val a = GatKernel.forward(w, b)
+      val f = GatKernel.forward(wFull, b)
+      a.zip(f).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f, s"$x vs $y") }
+    }
+  }
+
+  test("combine gradient training lowers NCE loss; F8 schedule; partition-invariant") {
+    val cfg = MoCoConfig(batchSize = 8, queueLen = 4, epochs = 2, lr0 = 0.05,
+      trainCombine = true, combineShards = 4)
+    val base = GatKernel.initWeights(32)
+    val w0 = GatKernel.initCombine(32, base.alpha)
+    // lr = 0 → pure loss evaluation of fixed weights
+    val (_, _, lossBefore) = MoCoTrainer.combineEpoch(spark, blocks(4), base, w0, w0.clone(), 0.0, cfg)
+    val trained = MoCoTrainer.trainCombine(spark, blocks(4), 32, cfg)
+    assert(trained.combine != null && trained.combine.length == 32 * 64)
+    val (_, _, lossAfter) = MoCoTrainer.combineEpoch(
+      spark, blocks(4), base, trained.combine, trained.combine.clone(), 0.0, cfg)
+    assert(lossAfter < lossBefore,
+      s"SGD on the NCE loss must reduce it: before $lossBefore after $lossAfter")
+    // bit-identical at different input partitionings (fixed virtual shards)
+    val trained2 = MoCoTrainer.trainCombine(spark, blocks(11), 32, cfg)
+    assert(trained.combine.sameElements(trained2.combine),
+      "combine training must be bit-identical across partitionings")
+    // F8: lr halves every 10 epochs — the schedule the loop applies
+    assert(cfg.lr0 * math.pow(0.5, 9 / 10) == cfg.lr0)
+    assert(cfg.lr0 * math.pow(0.5, 10 / 10) == cfg.lr0 / 2)
+  }
+
   test("MoCo encode is deterministic and normalized") {
     val w = GatKernel.initWeights(32).withAlpha(0.3f)
     val a = MoCoTrainer.encode(spark, blocks(3), w).collect().sortBy(_.id)

@@ -75,6 +75,19 @@ class PipelineSpec extends SparkTestBase {
     assert(m.getDouble(0) >= 0.5, s"IVF-path hit@1 ${m.getDouble(0)}")
   }
 
+  test("gradient-trained combine MLP keeps the alignment gates") {
+    // F6/F7/F8 full form: real Linear(2d→d) trained by SGD+NCE with an
+    // EMA'd key copy — alignment quality must hold vs the planted links
+    val r = Pipeline.runSynthetic(spark, cfg.copy(
+      useMoco = true,
+      moco = align.MoCoConfig(batchSize = 8, queueLen = 4, epochs = 2,
+        trainCombine = true, combineShards = 8)))
+    val gold = DocSynthesizer.goldLinks(spark, cfg.synth)
+    val m = Metrics.hitAtK(spark, r.alignment, gold).head()
+    assert(m.getDouble(0) >= 0.85, s"combine-trained hit@1 ${m.getDouble(0)}")
+    assert(r.components.count() > 0)
+  }
+
   test("auto candidate path: big corpus → LSH, small corpus → exact broadcast") {
     // default fixture (80 ents × dim 48) fits the broadcast budget → exact
     assert(!result.usedLsh)
