@@ -9,7 +9,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val cfg = PipelineConfig(
       synth = graft.ingest.SynthConfig(entitiesPerKg = 100),
-      embed = graft.embed.EmbedderConfig(dim = 48))
+      embed = graft.embed.EmbedderConfig(dim = 48),
+      // flagship runs the FULL training form: gradient-trained combine
+      // Linear(2d→d) under the MoCo queue + EMA key encoder (gated at
+      // this config by PipelineSpec's hit@1 >= 0.85 test)
+      useMoco = true,
+      moco = align.MoCoConfig(batchSize = 8, queueLen = 4, epochs = 2,
+        trainCombine = true, combineShards = 8))
     Pipeline.runSynthetic(spark, cfg).canonicalTriples
       .select("subj", "pred", "obj", "subjId", "objId")
   }

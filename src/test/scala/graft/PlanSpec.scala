@@ -29,6 +29,19 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
   }
 
+  test("media resize/frame-sample are narrow: payload bytes never shuffle") {
+    // at 100 TB the media payloads are most of the bytes — the decode/
+    // resize/frame-sample kernels must be exchange-free so payloads stay
+    // on the executor that scanned them
+    val media = graft.extract.MediaKernels.harnessMedia(spark, dir)
+    val resized = graft.extract.MediaKernels.resize(media, 4)
+    val frames = graft.extract.MediaKernels.frameSample(media, 32)
+    Seq("resize" -> planOf(resized.toDF()), "frames" -> planOf(frames.toDF())).foreach {
+      case (name, plan) =>
+        assert(!plan.contains("Exchange"), s"$name plan shuffles payloads:\n$plan")
+    }
+  }
+
   test("span explode over a parquet doc table: codegen'd, nested schema pruned") {
     import spark.implicits._
     val docs = graft.ingest.DocSynthesizer.docs(spark, graft.ingest.SynthConfig(entitiesPerKg = 10))
