@@ -171,15 +171,20 @@ object IvfTopK {
       .as[(Int, Int, Long)].collect()
     def saltMap(side: Int): Map[Int, Int] = hot.iterator.filter(_._1 == side)
       .map { case (_, cell, n) => (cell, math.ceil(n.toDouble / cfg.bucketCap).toInt) }.toMap
-    val saltsQBc = spark.sparkContext.broadcast(saltMap(0))
-    val saltsCBc = spark.sparkContext.broadcast(saltMap(1))
+    val saltsQ = saltMap(0)
+    val saltsC = saltMap(1)
+    val saltsQBc = spark.sparkContext.broadcast(saltsQ)
+    val saltsCBc = spark.sparkContext.broadcast(saltsC)
+    // derived, never-aliasing cell-id base (see LshTopK: a constant base
+    // double-scores pairs once a degenerate cell needs more salts)
+    val saltBase = math.max(1, saltsC.valuesIterator.maxOption.getOrElse(1))
 
     val cbS = cPc.mapPartitions { it =>
       val mC = saltsCBc.value; val mQ = saltsQBc.value
       it.flatMap { case (cell, id, emb) =>
         val sc = (DetHash.h1(7, id) % mC.getOrElse(cell, 1)).toInt.abs
         val sq = mQ.getOrElse(cell, 1)
-        Iterator.tabulate(sq)(q => (cell, q * 4096 + sc, id, emb))
+        Iterator.tabulate(sq)(q => (cell, q * saltBase + sc, id, emb))
       }
     }
     val qbS = qPc.mapPartitions { it =>
@@ -187,7 +192,7 @@ object IvfTopK {
       it.flatMap { case (cell, id, emb) =>
         val sq = (DetHash.h1(11, id) % mQ.getOrElse(cell, 1)).toInt.abs
         val sc = mC.getOrElse(cell, 1)
-        Iterator.tabulate(sc)(c => (cell, sq * 4096 + c, id, emb))
+        Iterator.tabulate(sc)(c => (cell, sq * saltBase + c, id, emb))
       }
     }
     val scored = qbS.groupByKey(r => (r._1, r._2))

@@ -303,8 +303,16 @@ object LshTopK {
     def saltMap(side: Int): Map[Long, Int] = hot.iterator.filter(_._1 == side)
       .map { case (_, b, key, n) =>
         (packKey(b, key), math.ceil(n.toDouble / cfg.bucketCap).toInt) }.toMap
-    val saltsQBc = spark.sparkContext.broadcast(saltMap(0))
-    val saltsCBc = spark.sparkContext.broadcast(saltMap(1))
+    val saltsQ = saltMap(0)
+    val saltsC = saltMap(1)
+    val saltsQBc = spark.sparkContext.broadcast(saltsQ)
+    val saltsCBc = spark.sparkContext.broadcast(saltsC)
+    // cell id = qSalt * saltBase + cSalt. The base must exceed every
+    // corpus-side salt count — a CONSTANT base would alias neighboring
+    // q-slots once one degenerate bucket needs more salts than it
+    // (> base × cap rows), silently double-scoring those pairs; derived
+    // from the actual counts it can never overflow.
+    val saltBase = math.max(1, saltsC.valuesIterator.maxOption.getOrElse(1))
 
     // each side hashes to its own salt and replicates across the other
     // side's salts: every (q, c) pair meets in exactly one (sq, sc) cell
@@ -313,7 +321,7 @@ object LshTopK {
       it.flatMap { case (b, key, id, emb, keys) =>
         val sc = (DetHash.h1(7, id) % mC.getOrElse(packKey(b, key), 1)).toInt.abs
         val sq = mQ.getOrElse(packKey(b, key), 1)
-        Iterator.tabulate(sq)(q => (b, key, q * 4096 + sc, id, emb, keys))
+        Iterator.tabulate(sq)(q => (b, key, q * saltBase + sc, id, emb, keys))
       }
     }
     val qbS = qb.mapPartitions { it =>
@@ -321,7 +329,7 @@ object LshTopK {
       it.flatMap { case (b, key, id, emb, keys) =>
         val sq = (DetHash.h1(11, id) % mQ.getOrElse(packKey(b, key), 1)).toInt.abs
         val sc = mC.getOrElse(packKey(b, key), 1)
-        Iterator.tabulate(sc)(c => (b, key, sq * 4096 + c, id, emb, keys))
+        Iterator.tabulate(sc)(c => (b, key, sq * saltBase + c, id, emb, keys))
       }
     }
     val scored = qbS.groupByKey(r => (r._1, r._2, r._3))

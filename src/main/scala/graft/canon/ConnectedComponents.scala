@@ -27,14 +27,18 @@ import org.apache.spark.sql.expressions.Window
 object ConnectedComponents {
 
   private def largeStar(edges: DataFrame): DataFrame = {
-    // symmetrize; per node u: m = min(N(u) ∪ {u}); emit (v, m) for v > u
+    // symmetrize; per node u: m = min(N(u) ∪ {u}); emit (v, m) for v > u.
+    // NO distinct here: the output feeds smallStar's window-min, which
+    // streams duplicates harmlessly, and each input edge emits at most
+    // one row so the round's row count stays ≤ 2|E| — dropping the
+    // dedup saves one full shuffle per round (smallStar's closing
+    // distinct re-bounds the edge set before the next round).
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
     val m = least(min(col("b")).over(Window.partitionBy(col("a"))), col("a"))
     sym.withColumn("m", m)
       .filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   private def smallStar(edges: DataFrame): DataFrame = {
@@ -60,19 +64,22 @@ object ConnectedComponents {
   /** edges: DataFrame(a LONG, b LONG) undirected.
     * Returns DataFrame(node LONG, component LONG) where component is the
     * minimum node id reachable — for every node appearing in any edge. */
-  def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 20,
+          verbose: Boolean = false): DataFrame = {
     var edges = edges0.select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var prev = checksum(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
       edges = next
       it += 1
+      if (verbose) println(f"[cc] round $it: edges=${cur._1} ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
     }
     // at convergence every edge is (node > root, root = component min)
     val nodes = edges.select(col("a").as("node"), col("b").as("component"))

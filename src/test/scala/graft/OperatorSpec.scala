@@ -171,10 +171,14 @@ class OperatorSpec extends SparkTestBase {
     val base = IvfTopK.topK(spark, q, c, 5,
       IvfTopK.IvfConfig(nCells = 4, nProbe = 2))
       .collect().map(x => (x.srcId, x.dstId)).toSet
-    val tiled = IvfTopK.topK(spark, q, c, 5,
+    val tiledRows = IvfTopK.topK(spark, q, c, 5,
       IvfTopK.IvfConfig(nCells = 4, nProbe = 2, bucketCap = 8))
-      .collect().map(x => (x.srcId, x.dstId)).toSet
+      .collect().map(x => (x.srcId, x.dstId))
+    val tiled = tiledRows.toSet
     assert(tiled == base, s"tiling changed the candidate set: ${tiled.size} vs ${base.size}")
+    // cell-id arithmetic must never alias two salt cells (a pair meeting
+    // twice would emit a duplicate dst for its src)
+    assert(tiledRows.length == tiled.size, "tiling emitted duplicate (src, dst) pairs")
   }
 
   // ---------- CC: known component structure ----------
