@@ -57,6 +57,15 @@ final case class PipelineConfig(
       * (loader/DWY100K.py:21); applied to both entity names and mention
       * surfaces so dictionary linking stays consistent. */
     lowercaseNames: Boolean = false,
+    /** > 0 with useMoco on `runSynthetic`: hash-split this fraction of
+      * the planted gold links into a held-out valid set and run the
+      * reference's eval-every-epoch model selection
+      * (model/layers_LaBSE_neighbor.py:452-486, DWY :442) — each epoch's
+      * weights are scored by valid Hit@1 and the best-scoring epoch wins
+      * (A5). External callers pass their valid links to `run` directly.
+      * Training itself never sees the links (SelfKG is self-supervised),
+      * so no leakage split is needed beyond holding them out of eval. */
+    validFraction: Double = 0.0,
     checkpointDir: Option[String] = None)
 
 object PipelineConfig {
@@ -78,8 +87,17 @@ final case class PipelineResult(
     alignment: Dataset[Candidate],
     components: DataFrame,
     canonicalTriples: DataFrame,
-    /** which candidate path ran (auto-selection is observable) */
-    usedLsh: Boolean)
+    /** media-span features side table (doc_id, media_ref, offset,
+      * feature_fp, n_frames) — the multimodal lineage surface */
+    mediaFeatures: DataFrame,
+    /** best per-epoch valid Hit@1 when eval-every-epoch ran */
+    validHit1: Option[Double],
+    /** true iff the LSH candidate path actually ran (round-2 ADVICE: this
+      * used to report the auto decision even when IVF overrode it) */
+    usedLsh: Boolean,
+    /** which candidate path actually ran: "exact", "lsh", or "ivf" —
+      * auto-selection is observable */
+    candidatePath: String)
 
 object Pipeline {
 
@@ -87,10 +105,54 @@ object Pipeline {
   def runSynthetic(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
     val docs = DocSynthesizer.docs(spark, cfg.synth)
     val ents = DocSynthesizer.entities(spark, cfg.synth)
-    run(spark, docs, ents, cfg)
+    val valid =
+      if (cfg.useMoco && cfg.validFraction > 0)
+        Some(DocSynthesizer.goldLinks(spark, cfg.synth).filter { l =>
+          graft.util.DetHash.toUnit(graft.util.DetHash.h2(cfg.synth.seed, l.e1, 555L)) < cfg.validFraction
+        })
+      else None
+    run(spark, docs, ents, cfg, valid)
   }
 
-  def run(spark: SparkSession, docs: Dataset[Doc], ents0: Dataset[Entity], cfg: PipelineConfig): PipelineResult = {
+  /** Per-epoch validation: Hit@1 of the current weights over the valid
+    * links, ranked against the valid targets plus a deterministic
+    * ~`negSample`-row hash sample of the KG2 corpus. Bounded per-epoch
+    * cost at any corpus size: only the valid ± sampled blocks are
+    * encoded (narrow) and the exact ranking corpus stays ≲ negSample
+    * rows — the full candidate join never runs inside the epoch loop.
+    * The sampled ranking approximates the full-corpus eval the way the
+    * reference's valid split approximates test (:452-486); final quality
+    * gates still run on the full alignment. Returns the hook plus a
+    * cleanup that drops the two cached block subsets. */
+  def validationHook(spark: SparkSession, blocks: Dataset[NeighborBlock],
+                     validLinks: Dataset[Link], negSample: Int = 4096):
+      (GatWeights => Double, () => Unit) = {
+    import spark.implicits._
+    val pairs = validLinks.collect() // valid sets are small by design
+    val srcIds = pairs.map(_.e1).toSet
+    val dstIds = pairs.map(_.e2).toSet
+    val bcSrc = spark.sparkContext.broadcast(srcIds)
+    val bcDst = spark.sparkContext.broadcast(dstIds)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val qBlocks = blocks.filter(b => bcSrc.value.contains(b.id)).persist(lvl)
+    val nKg2 = blocks.filter(_.kg == 2).count()
+    val rate = math.max(1L, nKg2 / math.max(1, negSample))
+    val cBlocks = blocks.filter { b =>
+      b.kg == 2 && (bcDst.value.contains(b.id) ||
+        graft.util.DetHash.nonNeg(graft.util.DetHash.h1(941L, b.id)) % rate == 0L)
+    }.persist(lvl)
+    qBlocks.count(); cBlocks.count()
+    val hook = (w: GatWeights) => {
+      val cands = ExactTopK.topK(spark,
+        MoCoTrainer.encode(spark, qBlocks, w),
+        MoCoTrainer.encode(spark, cBlocks, w), 1)
+      eval.Metrics.hitAtK(spark, cands, validLinks, 1).head().getDouble(0)
+    }
+    (hook, () => { qBlocks.unpersist(blocking = false); cBlocks.unpersist(blocking = false) })
+  }
+
+  def run(spark: SparkSession, docs: Dataset[Doc], ents0: Dataset[Entity], cfg: PipelineConfig,
+          validLinks: Option[Dataset[Link]] = None): PipelineResult = {
     import spark.implicits._
 
     // ---- stage 0: load normalization (DWY lowercase discipline) ----
@@ -112,6 +174,18 @@ object Pipeline {
       case None => Extraction.idTriples(spark, raw, ents)
     }
 
+    // ---- stage 1b: media-features side table (multimodal lineage) ----
+    // extraction prunes media spans at the scan (they contribute no
+    // triples); the media surface routes them through MediaKernels and,
+    // under a checkpoint dir, commits them with lineage like the triples
+    val mediaFeatures = cfg.checkpointDir match {
+      case Some(dir) =>
+        TableIO.computeIfAbsent(spark, s"$dir/media_features", "media") {
+          graft.extract.MediaKernels.docMediaFeatures(spark, docs)
+        }
+      case None => graft.extract.MediaKernels.docMediaFeatures(spark, docs)
+    }
+
     // ---- stage 2: embeddings (broadcast-model mapPartitions) ----
     val embs = cfg.checkpointDir match {
       case Some(dir) =>
@@ -127,9 +201,20 @@ object Pipeline {
     val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents)
     val blocks = NeighborAgg.blocks(spark, ordered, embs, ents, cfg.embed.dim)
 
+    var validHit1: Option[Double] = None
     val weights: GatWeights =
-      if (cfg.useMoco) MoCoTrainer.train(spark, blocks, cfg.embed.dim, cfg.moco)
+      if (cfg.useMoco) validLinks match {
+        case Some(vl) =>
+          // eval-every-epoch model selection (reference :452-486, DWY :442)
+          val (score, close) = validationHook(spark, blocks, vl)
+          val scores = scala.collection.mutable.ArrayBuffer.empty[Double]
+          try MoCoTrainer.train(spark, blocks, cfg.embed.dim, cfg.moco,
+            eval = Some(w => { val s = score(w); scores += s; s }))
+          finally { validHit1 = scores.maxOption; close() }
+        case None => MoCoTrainer.train(spark, blocks, cfg.embed.dim, cfg.moco)
+      }
       else align.GatKernel.initWeights(cfg.embed.dim)
+        .withNorms(cfg.moco.centerNorm, cfg.moco.neighborNorm)
     val encoded = MoCoTrainer.encode(spark, blocks, weights)
 
     // entities with no triples keep their raw embedding (reference blocks
@@ -145,16 +230,30 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q1 = embById.filter(col("kg") === 1).select(col("id"), col("emb")).as[Emb]
     val c2 = embById.filter(col("kg") === 2).select(col("id"), col("emb")).as[Emb]
-    val wantLsh = cfg.useLsh.getOrElse {
+    // lazy: the auto decision (and its dictionary count job) runs only
+    // when IVF hasn't already claimed the path (round-2 ADVICE)
+    lazy val wantLsh = cfg.useLsh.getOrElse {
       // auto: count the KG2 entity dictionary (cheap scan) — NOT the
       // encoded embeddings, whose count would re-run the encode stage
       val corpusRows = ents.filter(_.kg == 2).count()
       corpusRows * cfg.embed.dim > cfg.exactPathMaxFloats
     }
-    val cands =
-      if (cfg.useIvf) IvfTopK.topK(spark, q1, c2, cfg.topK)
-      else if (wantLsh) LshTopK.topK(spark, q1, c2, cfg.topK)
-      else ExactTopK.topK(spark, q1, c2, cfg.topK)
+    val candidatePath = if (cfg.useIvf) "ivf" else if (wantLsh) "lsh" else "exact"
+    val cands = candidatePath match {
+      case "ivf" => IvfTopK.topK(spark, q1, c2, cfg.topK)
+      case "lsh" => LshTopK.topK(spark, q1, c2, cfg.topK)
+      case _ =>
+        // LSH/IVF return their candidates persisted + materialized; give
+        // the exact path the same contract so embById can be released
+        val r = ExactTopK.topK(spark, q1, c2, cfg.topK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        r
+    }
+    // candidates are materialized on every path — the encoded-embedding
+    // cache has served both sides and can go (repeated runs in one
+    // session must not accumulate cached blocks, ADVICE r2)
+    embById.unpersist(blocking = false)
 
     // ---- stage 5: canonicalization ----
     val acceptedEdges = cands.toDF()
@@ -181,6 +280,8 @@ object Pipeline {
       case None => t
     }
 
-    PipelineResult(docs, ents, raw, idTriples, cands, comps, canonical, wantLsh)
+    PipelineResult(docs, ents, raw, idTriples, cands, comps, canonical,
+      mediaFeatures = mediaFeatures, validHit1 = validHit1,
+      usedLsh = candidatePath == "lsh", candidatePath = candidatePath)
   }
 }

@@ -251,6 +251,44 @@ object Queries {
               ELSE CAST(32 AS BIGINT) END)) AS cp
        FROM customer"""
 
+  // ---------- composed extract_rel pipeline (extract_rel.py:14-67) ----------
+
+  /** The reference's only purely relational pipeline, composed end-to-end
+    * (round-2 verdict "missing" item 3): triple scan → membership filter
+    * against the entity dict → TWO dict joins (head + tail label lookup,
+    * both broadcast) → URL→label projection on both sides → dedup → sort
+    * — the template for triple-label materialization. Every stage was
+    * already individually green (q_semi_join, q_two_key_join,
+    * q_label_project, q_sorted_dict); this is the single-oracle
+    * composition. lineitem rows play the triple store (head=l_suppkey,
+    * rel=l_linenumber, tail=l_partkey); supplier/part are the entity
+    * dictionaries; the acctbal filter is the membership gate. */
+  def qExtractRel(spark: SparkSession, dir: String): DataFrame = {
+    val triples = t(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("head"), col("l_linenumber").as("rel"), col("l_partkey").as("tail"))
+    val headDict = t(spark, dir, "supplier").filter(col("s_acctbal") > 1000)
+      .select(col("s_suppkey"), col("s_name"))
+    val tailDict = t(spark, dir, "part").select(col("p_partkey"), col("p_name"))
+    triples
+      .join(broadcast(headDict), col("head") === col("s_suppkey"))
+      .join(broadcast(tailDict), col("tail") === col("p_partkey"))
+      .select(
+        element_at(split(col("s_name"), "#"), -1).as("subj"),
+        concat(lit("rel_"), col("rel").cast("string")).as("pred"),
+        element_at(split(col("p_name"), " "), -1).as("obj"))
+      .distinct()
+      .orderBy(col("subj"), col("pred"), col("obj"))
+  }
+
+  val qExtractRelSql =
+    """SELECT DISTINCT list_extract(string_split(s_name, '#'), -1) AS subj,
+       'rel_' || CAST(l_linenumber AS VARCHAR) AS pred,
+       list_extract(string_split(p_name, ' '), -1) AS obj
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal > 1000
+       JOIN part ON l_partkey = p_partkey
+       ORDER BY subj, pred, obj"""
+
   // ---------- registry ----------
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -268,6 +306,7 @@ object Queries {
     "q_sorted_dict" -> (qSortedDict _, qSortedDictSql),
     "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql),
     "q_token_features" -> (qTokenFeatures _, qTokenFeaturesSql),
+    "q_extract_rel" -> (qExtractRel _, qExtractRelSql),
     "q_seeded_interleave" -> (qSeededInterleave _, qSeededInterleaveSql)) ++
     TextQueries.sqlChecked ++ EmbedQueries.sqlChecked ++ KgQueries.sqlChecked
 

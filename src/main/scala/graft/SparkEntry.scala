@@ -12,8 +12,10 @@ object SparkEntry {
       embed = graft.embed.EmbedderConfig(dim = 48),
       // flagship runs the FULL training form: gradient-trained combine
       // Linear(2d→d) under the MoCo queue + EMA key encoder (gated at
-      // this config by PipelineSpec's hit@1 >= 0.85 test)
+      // this config by PipelineSpec's hit@1 >= 0.85 test), with the
+      // eval-every-epoch valid-Hit@1 model selection (validFraction)
       useMoco = true,
+      validFraction = 0.3,
       moco = align.MoCoConfig(batchSize = 8, queueLen = 4, epochs = 2,
         trainCombine = true, combineShards = 8))
     Pipeline.runSynthetic(spark, cfg).canonicalTriples

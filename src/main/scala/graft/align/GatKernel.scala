@@ -25,11 +25,30 @@ import graft.util.DetHash._
   * deterministic seeded unit vectors (no pretrained weights exist in
   * this sandbox). The matrices are ≤ dim×2dim — driver-free,
   * partition-local, no distributed matmul (SURVEY.md §2.7 F5).
+  *
+  * Regularization surface (model/layers_LaBSE_neighbor.py:39-49):
+  *  - `centerNorm` / `neighborNorm` config-gate the reference's
+  *    center_norm / neighbor_norm flags (:123-126): L2-normalize the raw
+  *    center, resp. the attention output, before the combine. Reference
+  *    CLI defaults are (False, True); this engine defaults BOTH to false
+  *    — its hash-feature inputs are already unit vectors, so the
+  *    attention output's norm (≤1, a convex combination of unit rows)
+  *    carries the neighborhood-coherence signal that alpha mixing uses.
+  *    Set neighborNorm=true for the reference's exact default shape.
+  *  - attention dropout 0.3 (:149,171) is nn.Dropout — active ONLY in
+  *    train() mode, identity at eval. This engine's attention path holds
+  *    no trainable parameters (identity W, seeded attention vectors), so
+  *    training-time dropout would inject nondeterminism with nothing to
+  *    regularize, and the emitted embeddings (an eval-mode forward in
+  *    the reference too) are identical either way. Omitted by design.
   */
 final case class GatWeights(attnSrc: Array[Float], attnDst: Array[Float], alpha: Float,
-                            combine: Array[Float] = null) {
+                            combine: Array[Float] = null,
+                            centerNorm: Boolean = false, neighborNorm: Boolean = false) {
   def withAlpha(a: Float): GatWeights = copy(alpha = a)
   def withCombine(w: Array[Float]): GatWeights = copy(combine = w)
+  def withNorms(center: Boolean, neighbor: Boolean): GatWeights =
+    copy(centerNorm = center, neighborNorm = neighbor)
 }
 
 object GatKernel {
@@ -144,10 +163,23 @@ object GatKernel {
       Embedder.l2n(out)
     }
 
+  /** attnParts with the norm flags applied — the combine's actual input
+    * (reference :123-126 normalizes before the concat). Training loops
+    * that precompute attention once per row must use THIS, not attnParts,
+    * so the flags act identically at train and inference time. */
+  def combineInputs(w: GatWeights, block: NeighborBlock): (Array[Float], Array[Float]) = {
+    val (center, agg) = attnParts(w, block) // fresh arrays — in-place l2n is safe
+    (if (w.centerNorm) Embedder.l2n(center) else center,
+     if (w.neighborNorm) Embedder.l2n(agg) else agg)
+  }
+
   /** Forward pass for one neighbor block → L2-normalized output vector.
-    * Operates on the flat row-major block (see NeighborBlock). */
+    * Operates on the flat row-major block (see NeighborBlock). The norm
+    * flags apply BEFORE the combine on both the full and the light path,
+    * so the `[I | alpha·I]` initialization equivalence holds under any
+    * flags. */
   def forward(w: GatWeights, block: NeighborBlock): Array[Float] = {
-    val (center, agg) = attnParts(w, block)
+    val (center, agg) = combineInputs(w, block)
     combineOut(w, center, agg)
   }
 

@@ -50,15 +50,29 @@ final case class MoCoConfig(
       * pretrained LaBSE at 1e-6, this sandbox trains a fresh layer over
       * hash features, which wants a fresh-layer-scale lr). */
     lr0: Double = 0.05,
-    /** fixed virtual-shard count for combine training: rows are hashed to
-      * combineShards shards regardless of cluster parallelism, each shard
-      * runs its own sequential queue/SGD pass, and the driver averages
-      * shard weights per epoch (local SGD). Fixing the shard count — not
-      * inheriting spark.sql.shuffle.partitions — is what makes the result
-      * bit-identical at N vs 4N cores (SURVEY.md §7.5 item 2). */
-    combineShards: Int = 32)
+    /** fixed virtual-shard count for BOTH training paths: rows are hashed
+      * to combineShards shards regardless of cluster parallelism, each
+      * shard runs its own sequential queue pass (line search or SGD), and
+      * the driver averages shard results per epoch (local SGD). Fixing
+      * the shard count — not inheriting spark.sql.shuffle.partitions — is
+      * what makes the result bit-identical at N vs 4N cores (SURVEY.md
+      * §7.5 item 2; round-2 verdict: the alpha path used to inherit the
+      * session partition count, so queue composition could differ between
+      * parallelism levels). */
+    combineShards: Int = 32,
+    /** GAT center_norm / neighbor_norm flags (GatWeights scaladoc;
+      * reference defaults are center=false, neighbor=true). */
+    centerNorm: Boolean = false,
+    neighborNorm: Boolean = false)
 
 object MoCoTrainer {
+
+  /** F8 schedule: the step size for epoch index `e`. Halves every 10
+    * epochs, first at epoch index 9 — the reference's
+    * adjust_learning_rate halves when (epoch+1) % 10 == 0
+    * (model/layers_LaBSE_neighbor.py:53-57), so epoch 9 already trains
+    * at lr0/2. Integer division is intentional. */
+  def lrAt(lr0: Double, e: Int): Double = lr0 * math.pow(0.5, (e + 1) / 10)
 
   /** NCE loss of one positive pair against a negative block.
     * logits = [q·k+, q·n1, ...]/t; CE at label 0 (:60-72,102). */
@@ -82,7 +96,7 @@ object MoCoTrainer {
     val results = blocks
       .map(b => (graft.util.DetHash.h1(Dims.Seed, b.id), b))(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.product[NeighborBlock]))
-      .repartition(org.apache.spark.sql.functions.col("_1"))
+      .repartition(cfg.combineShards, org.apache.spark.sql.functions.col("_1"))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1).map(_._2) // deterministic batch order
         if (rows.isEmpty) Iterator.empty
@@ -164,8 +178,9 @@ object MoCoTrainer {
           val wk = bcK.value.clone()  // momentum key-encoder copy (T2)
           val dim = rows.head.emb.length / rows.head.validLen
           val d2 = 2 * dim
-          // attention is fixed → precompute x = (center, agg) once per row
-          val xs = rows.map(b => GatKernel.attnParts(baseW, b))
+          // attention is fixed → precompute x = (center, agg) once per
+          // row, norm flags applied (combineInputs = the combine's input)
+          val xs = rows.map(b => GatKernel.combineInputs(baseW, b))
           val kgs = rows.map(_.kg)
           val t = cfg.temperature
           var loss = 0.0
@@ -289,7 +304,7 @@ object MoCoTrainer {
   def trainCombine(spark: SparkSession, blocks: Dataset[NeighborBlock], dim: Int,
                    cfg: MoCoConfig = MoCoConfig(),
                    eval: Option[GatWeights => Double] = None): GatWeights = {
-    val base = GatKernel.initWeights(dim)
+    val base = GatKernel.initWeights(dim).withNorms(cfg.centerNorm, cfg.neighborNorm)
     var w = GatKernel.initCombine(dim, base.alpha)
     var wk = w.clone()
     var cur = base.withCombine(w)
@@ -297,7 +312,7 @@ object MoCoTrainer {
     var bestScore = Double.NegativeInfinity
     var e = 0
     while (e < cfg.epochs) {
-      val lr = cfg.lr0 * math.pow(0.5, e / 10) // F8: halve every 10 epochs
+      val lr = lrAt(cfg.lr0, e) // F8: halve every 10 epochs (first at index 9)
       val (w2, wk2, _) = combineEpoch(spark, blocks, base, w, wk, lr, cfg)
       w = w2; wk = wk2
       cur = base.withCombine(w)
@@ -324,7 +339,7 @@ object MoCoTrainer {
             cfg: MoCoConfig = MoCoConfig(),
             eval: Option[GatWeights => Double] = None): GatWeights = {
     if (cfg.trainCombine) return trainCombine(spark, blocks, dim, cfg, eval)
-    var w = GatKernel.initWeights(dim)
+    var w = GatKernel.initWeights(dim).withNorms(cfg.centerNorm, cfg.neighborNorm)
     var best = w
     var bestScore = Double.NegativeInfinity
     var e = 0
@@ -332,7 +347,7 @@ object MoCoTrainer {
       val grid =
         if (e == 0) cfg.alphaGrid
         else {
-          val step = (cfg.alphaStep * math.pow(0.5, e / 10)).toFloat
+          val step = lrAt(cfg.alphaStep, e).toFloat
           (-2 to 2).map(i => math.min(1f, math.max(0f, w.alpha + i * step))).distinct
         }
       val (a, _) = epoch(spark, blocks, w, cfg, grid)

@@ -40,15 +40,17 @@ import graft.util.DetHash
   * Shuffle inventory: one keyed shuffle per side (corpus rows move once,
   * query rows ≤ nProbe times), one narrow (src, dst, cos) merge shuffle,
   * one narrow calibration join. Centroid broadcast is nCells × dim
-  * floats (auto nCells = √corpus: 10⁶ cells × 768 dims ≈ 3 GB is past
-  * broadcast scale — at 10¹² rows callers shard the corpus or raise
-  * cellsMax; the assignment scan is O(nCells × dim) per row and is the
-  * known IVF tradeoff vs LSH's O(bands × rows × dim)).
+  * floats; auto nCells is min(√corpus, cellsMax, sample/32) — the
+  * sample coupling keeps the quantizer trained (≥32 samples/centroid,
+  * see [[autoCells]]) and incidentally keeps the broadcast tiny. The
+  * assignment scan is O(nCells × dim) per row — the known IVF tradeoff
+  * vs LSH's O(bands × rows × dim).
   */
 object IvfTopK {
 
   final case class IvfConfig(
-      /** <= 0 → auto: ceil(sqrt(corpus rows)) clamped to [8, cellsMax]. */
+      /** <= 0 → auto: min(ceil(sqrt(corpus rows)), cellsMax,
+        * sample/SamplesPerCell) — see [[autoCells]]. */
       nCells: Int = 0,
       cellsMax: Int = 4096,
       /** inverted lists probed per query (recall/cost dial). */
@@ -60,6 +62,24 @@ object IvfTopK {
       /** max rows (either side) of one cell before 2-D salt tiling. */
       bucketCap: Int = 512,
       seed: Long = Dims.Seed)
+
+  /** Minimum training samples per centroid for the auto cell count:
+    * below ~32 the Lloyd pass memorizes individual sample rows instead
+    * of estimating cluster means (round-2 verdict: auto √corpus cells
+    * with a fixed 4096-row sample degenerated to 1 sample/centroid at
+    * corpus ≥ 16M — arbitrary centroids exactly where IVF must win). */
+  val SamplesPerCell = 32
+
+  /** Auto cell count: √corpus selectivity, bounded by the broadcast cap
+    * AND by what the driver sample can actually train. Pure — gated in
+    * OperatorSpec. At extreme corpora this bounds cells at
+    * sampleSize/32 (default 128): cells get larger and salt tiling
+    * bounds per-task work; callers wanting finer quantization raise
+    * sampleSize explicitly (Lloyd is O(iters × sample × cells × dim) on
+    * the driver) or use the LSH path, which needs no training pass. */
+  def autoCells(nCorpus: Long, sampleLen: Int, cellsMax: Int): Int =
+    math.max(1, math.min(math.min(cellsMax, sampleLen / SamplesPerCell),
+      math.ceil(math.sqrt(nCorpus.toDouble)).toInt))
 
   /** argmax-dot centroid of v; ties break to the smaller cell id (strict
     * `>` while scanning in index order) so assignment is deterministic. */
@@ -140,8 +160,8 @@ object IvfTopK {
       .collect().sortBy(_.id)
     require(sample.nonEmpty, "IvfTopK: empty corpus")
     val nCells =
-      if (cfg.nCells > 0) cfg.nCells
-      else math.min(cfg.cellsMax, math.max(8, math.ceil(math.sqrt(nCorpus.toDouble)).toInt))
+      if (cfg.nCells > 0) cfg.nCells // explicit: caller owns sample quality
+      else autoCells(nCorpus, sample.length, cfg.cellsMax)
     val centsBc = spark.sparkContext.broadcast(
       trainCentroids(sample, math.min(nCells, sample.length), cfg.lloydIters))
     val negBc = spark.sparkContext.broadcast(
@@ -218,10 +238,19 @@ object IvfTopK {
       }
 
     val calib = LshTopK.rsmCalib(qP, negBc)
-    ranked.toDF("srcId", "dstId", "cos", "rank")
+    val result = ranked.toDF("srcId", "dstId", "cos", "rank")
       .join(calib.toDF("srcId", "mu", "sigma"), "srcId")
       .as[(Long, Long, Double, Int, Double, Double)]
       .map { case (src, dst, cos, r, mu, sigma) =>
         Candidate(src, dst, graft.align.MoCoTrainer.rsmScore(cos, mu, sigma), r) }
+      // the candidate table (≤ queries × k narrow rows) is the smallest
+      // artifact of this operator and is re-consumed by several
+      // downstream actions — persist IT, then drop the four heavy
+      // intermediates so repeated calls in one session (the 42-query
+      // battery, spec suites) don't accumulate cached blocks (ADVICE r2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize before releasing what it was built from
+    Seq(qPc, cPc, qP, cP).foreach(_.unpersist(blocking = false))
+    result
   }
 }

@@ -358,10 +358,18 @@ object LshTopK {
 
     // --- RSM calibration: per-source mu/sigma vs the negative sample ---
     val calib = rsmCalib(qP, negBc)
-    ranked.toDF("srcId", "dstId", "cos", "rank")
+    val result = ranked.toDF("srcId", "dstId", "cos", "rank")
       .join(calib.toDF("srcId", "mu", "sigma"), "srcId")
       .as[(Long, Long, Double, Int, Double, Double)]
       .map { case (src, dst, cos, r, mu, sigma) =>
         Candidate(src, dst, graft.align.MoCoTrainer.rsmScore(cos, mu, sigma), r) }
+      // persist the (≤ queries × k narrow-row) candidate table and drop
+      // the heavy banded/input caches: repeated topK calls in one
+      // session must not accumulate cached blocks (ADVICE r2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize before releasing what it was built from
+    Seq(qb, cb).foreach(_.unpersist(blocking = false))
+    Seq(qP, cP).foreach(_.unpersist(blocking = false))
+    result
   }
 }

@@ -23,8 +23,24 @@ import org.apache.spark.sql.expressions.Window
   * (diameter ≤ 3) so 2–4 rounds in practice. Convergence is detected by
   * an order-independent checksum aggregate (xor/sum of edge hashes) —
   * no driver-side edge materialization.
+  *
+  * Per-round lineage cut: each round's edge set is checkpointed so the
+  * DAG doesn't grow by two window stages per round. When the session has
+  * a RELIABLE checkpoint dir (`sc.setCheckpointDir`, e.g. HDFS/object
+  * store on a real cluster), rounds use `checkpoint()` — a lost executor
+  * mid-iteration recovers from the checkpoint files. Without one (this
+  * sandbox's local[N], where executor loss ≡ JVM loss anyway) rounds
+  * fall back to `localCheckpoint()`, whose executor-local blocks have no
+  * lineage to recover from — the documented single-box trade-off. At the
+  * 10^12-doc design point, set a checkpoint dir.
   */
 object ConnectedComponents {
+
+  /** Round lineage cut: reliable checkpoint when the session has a
+    * checkpoint dir, executor-local otherwise (see class doc). */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   private def largeStar(edges: DataFrame): DataFrame = {
     // symmetrize; per node u: m = min(N(u) ∪ {u}); emit (v, m) for v > u.
@@ -66,14 +82,14 @@ object ConnectedComponents {
     * minimum node id reachable — for every node appearing in any edge. */
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 20,
           verbose: Boolean = false): DataFrame = {
-    var edges = edges0.select(col("a").cast("long"), col("b").cast("long"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var edges = cut(edges0.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b")).distinct())
     var prev = checksum(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = cut(smallStar(largeStar(edges)))
       val cur = checksum(next)
       converged = cur == prev
       prev = cur

@@ -85,6 +85,30 @@ object MediaKernels {
     }
   }
 
+  /** Flagship media surface: every media span of the interleaved docs →
+    * one feature row (doc_id, media_ref, offset, feature_fp, n_frames).
+    * NARROW — the payload (stub codec: the media_ref bytes; a real
+    * fetch+decode plugs in where `payloadOf` is) never crosses a
+    * shuffle, one kernel init per partition, generator-shaped flatMap so
+    * a many-media doc becomes many bounded rows. [[graft.Pipeline]]
+    * commits this as a lineage-tracked side table next to the triples. */
+  def docMediaFeatures(spark: SparkSession, docs: Dataset[graft.kg.Doc],
+                       frameStride: Int = 16): DataFrame = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      // codec handle would initialize here, once per partition
+      def payloadOf(ref: String): Array[Byte] =
+        ref.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      it.flatMap { d =>
+        d.spans.iterator.filter(_.kind == "media").map { s =>
+          val p = payloadOf(s.media_ref)
+          (d.doc_id, s.media_ref, s.offset, featureFp(p),
+            (p.length + frameStride - 1) / frameStride)
+        }
+      }
+    }.toDF("doc_id", "media_ref", "offset", "feature_fp", "n_frames")
+  }
+
   /** The harness media table: documents' text bytes stand in for media
     * payloads (same stand-in as q_media_features). */
   def harnessMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates on the bench JSON contract (the round-2 failure mode: a timeout
+  * erased every measurement because the one JSON line printed last).
+  * renderJson must produce a complete, driver-parseable line at every
+  * milestone — with and without the kg_bench section. */
+class BenchSpec extends AnyFunSuite {
+
+  private val battery = Seq(("q_a", 1.25, true), ("q_b", 0.5, true), ("q_fail", 2.0, false))
+
+  test("battery-only line is complete JSON with failed[] populated") {
+    val s = Bench.renderJson(battery, "/tmp/sf", None)
+    assert(s.startsWith("{") && s.endsWith("}"))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.contains("\"queries\":{\"q_a\":1.250,\"q_b\":0.500,\"q_fail\":2.000}"))
+    assert(s.contains("\"failed\":[\"q_fail\"]"))
+    assert(!s.contains("kg_bench"))
+  }
+
+  test("kg_bench line carries both throughputs and the efficiency") {
+    val kg = Bench.KgBench(docs = 100000L, dim = 256, nLow = 2, nHigh = 8,
+      secN = 704.1, sec4N = 196.0, samplesN = 2, samples4N = 1)
+    val s = Bench.renderJson(battery, "/tmp/sf", Some(kg))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.contains("\"cores_n\":2") && s.contains("\"cores_4n\":8"))
+    assert(s.contains("\"samples_n\":2") && s.contains("\"samples_4n\":1"))
+    // eff = (100000/196.0) / (4 * 100000/704.1) = 704.1 / (4*196.0) = 0.898
+    assert(s.contains("\"scaling_efficiency\":0.898"), s)
+  }
+}

@@ -78,9 +78,55 @@ class MoCoSpec extends SparkTestBase {
     val trained2 = MoCoTrainer.trainCombine(spark, blocks(11), 32, cfg)
     assert(trained.combine.sameElements(trained2.combine),
       "combine training must be bit-identical across partitionings")
-    // F8: lr halves every 10 epochs — the schedule the loop applies
-    assert(cfg.lr0 * math.pow(0.5, 9 / 10) == cfg.lr0)
-    assert(cfg.lr0 * math.pow(0.5, 10 / 10) == cfg.lr0 / 2)
+  }
+
+  test("F8 schedule (lrAt, the function the training loops call): halves at epoch 9") {
+    // reference adjust_learning_rate: lr halves when (epoch+1) % 10 == 0,
+    // i.e. the FIRST halving applies at epoch index 9 (round-2 ADVICE:
+    // e/10 was off by one at the boundary, and the old assertions tested
+    // standalone integer-division constants, not the trainer's schedule)
+    assert(MoCoTrainer.lrAt(0.05, 0) == 0.05)
+    assert(MoCoTrainer.lrAt(0.05, 8) == 0.05)
+    assert(MoCoTrainer.lrAt(0.05, 9) == 0.025)
+    assert(MoCoTrainer.lrAt(0.05, 18) == 0.025)
+    assert(MoCoTrainer.lrAt(0.05, 19) == 0.0125)
+  }
+
+  test("alpha-path epoch is invariant to input partitioning AND session shuffle conf") {
+    // round-2 verdict item 2: epoch() used repartition(col) which
+    // inherited spark.sql.shuffle.partitions, so queue composition could
+    // differ between N and 4N sessions. Now it shards to the fixed
+    // cfg.combineShards like the combine path.
+    val cfg = MoCoConfig(batchSize = 8, queueLen = 4, epochs = 1, combineShards = 5)
+    val w = GatKernel.initWeights(32)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = MoCoTrainer.epoch(spark, blocks(3), w, cfg)
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    val b = try MoCoTrainer.epoch(spark, blocks(13), w, cfg)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, s"alpha path must be partitioning-independent: $a vs $b")
+  }
+
+  test("GAT norm flags: neighborNorm feeds a unit attention vector to the combine; [I|aI] equivalence holds") {
+    // reference center_norm/neighbor_norm (model/layers_LaBSE_neighbor
+    // .py:39-40,123-126; CLI defaults False/True) — config-gated here
+    val w = GatKernel.initWeights(32).withAlpha(0.3f).withNorms(center = false, neighbor = true)
+    val wFull = w.withCombine(GatKernel.initCombine(32, 0.3f))
+    val wOff = GatKernel.initWeights(32).withAlpha(0.3f)
+    val bs = blocks(4).collect()
+    var flagChangedSomething = false
+    bs.foreach { b =>
+      val (_, g) = GatKernel.combineInputs(w, b)
+      if (b.validLen > 1) {
+        val n = math.sqrt(g.map(v => v.toDouble * v).sum)
+        assert(math.abs(n - 1.0) < 1e-4, s"neighborNorm must unit-normalize, got $n")
+      }
+      val light = GatKernel.forward(w, b)
+      val full = GatKernel.forward(wFull, b)
+      light.zip(full).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f) }
+      if (!light.sameElements(GatKernel.forward(wOff, b))) flagChangedSomething = true
+    }
+    assert(flagChangedSomething, "the flag must be observable on multi-row blocks")
   }
 
   test("MoCo encode is deterministic and normalized") {

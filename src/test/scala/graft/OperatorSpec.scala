@@ -181,6 +181,32 @@ class OperatorSpec extends SparkTestBase {
     assert(tiledRows.length == tiled.size, "tiling emitted duplicate (src, dst) pairs")
   }
 
+  test("IVF autoCells never exceeds what the sample can train (16M-corpus regression)") {
+    // round-2 verdict item 3: auto nCells = √corpus capped at 4096, but
+    // centroids train on a ≤4096-row sample — at corpus ≥ 16M that was
+    // ~1 sample/centroid, i.e. centroids were arbitrary sample rows.
+    // Auto must bound cells by sample / SamplesPerCell.
+    assert(IvfTopK.autoCells(16000000L, 4096, 4096) == 128)
+    assert(IvfTopK.autoCells(1L << 40, 4096, 4096) == 128) // 10^12-doc design point
+    assert(IvfTopK.autoCells(10000L, 8192, 4096) == 100)   // √corpus binds when trainable
+    assert(IvfTopK.autoCells(100L, 20, 4096) == 1)         // tiny sample → flat scan
+    assert(IvfTopK.autoCells(16000000L, 4096, 4096) * IvfTopK.SamplesPerCell <= 4096)
+  }
+
+  test("IVF recall holds when the sample is small relative to the corpus") {
+    // sampleSize=64 on a 150-row corpus: the old auto picked ~13 cells
+    // from ~75 samples; the coupling now picks 2 well-trained cells and
+    // nProbe=4 covers them all — recall must stay at the exact-path gate
+    val (q, c) = ivfFixture(0.05)
+    val exact1 = ExactTopK.topK(spark, q, c, 1).filter(_.rank == 1)
+      .collect().map(x => (x.srcId, x.dstId)).toSet
+    val ivf5 = IvfTopK.topK(spark, q, c, 5,
+      IvfTopK.IvfConfig(sampleSize = 64)).collect()
+      .map(x => (x.srcId, x.dstId)).toSet
+    val r = exact1.count(ivf5.contains).toDouble / exact1.size
+    assert(r >= 0.9, s"small-sample IVF recall: $r")
+  }
+
   // ---------- CC: known component structure ----------
 
   test("connected components: chains and isolates resolve to min id") {
@@ -191,6 +217,25 @@ class OperatorSpec extends SparkTestBase {
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
     assert(got(10L) == 10L && got(11L) == 10L)
     assert(got(20L) == 20L && got(23L) == 20L)
+  }
+
+  test("connected components: reliable checkpoint dir is honored (cluster resilience path)") {
+    // round-2 verdict item 4: localCheckpoint blocks have no lineage —
+    // with sc.setCheckpointDir set (a real cluster's HDFS/object store),
+    // rounds must cut lineage through RELIABLE checkpoint files instead
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val sc = spark.sparkContext
+    // note: SparkContext offers no un-set; leaving the dir set only means
+    // later CC tests in this shared session also use the reliable path
+    sc.setCheckpointDir(dir)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = ConnectedComponents.run(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reliable checkpoint files must actually have been written
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected RDD checkpoint files under the checkpoint dir")
   }
 
   test("connected components: 10^5-degree hub converges without array rows") {
