@@ -115,6 +115,11 @@ object Bench {
 
     // ---- operator battery at the driver-requested parallelism ----
     var spark = session(cpus)
+    // JIT/codegen/parquet-reader warmup so the alphabetically-first
+    // battery entry isn't billed the session's compilation cost (the
+    // smoke battery showed it absorbing ~45 s of warm-up)
+    try SparkEntry.queries.get("q_sorted_dict").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a broken query must be VISIBLE in the bench JSON, not a silent

@@ -191,6 +191,32 @@ object EmbedQueries {
               CAST(sum(hk) AS BIGINT) AS n_hitk
        FROM per GROUP BY split"""
 
+  // ---------- F3 quantized variant: 16-bit embedding quantization ----------
+
+  /** The 16-bit quantization the candidate cogroups ship vectors in
+    * (LshTopK.quantize — scale 32767, round half-up), oracle-checked
+    * ELEMENT-WISE: the real kernel runs row-by-row and its exploded
+    * (vec_id, pos, q16) output must match DuckDB's
+    * floor(x·32767 + 0.5) in double — the exact arithmetic the kernel
+    * performs (f32×32767 is exact in f64). Same call-the-kernel
+    * discipline as q_token_features. */
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        graft.candidates.LshTopK.quantize(emb).iterator.zipWithIndex.map {
+          case (q, i) => (id, (i + 1).toLong, q.toLong) }
+      }.toDF("vec_id", "pos", "q16")
+  }
+
+  val qEmbedQuantizeSql =
+    """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS pos,
+       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32767 + 0.5) AS BIGINT) AS q16
+       FROM embeddings"""
+
   // ---------- connected components vs recursive-CTE oracle ----------
 
   def qConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
@@ -248,6 +274,7 @@ object EmbedQueries {
     "q_neighbor_agg" -> (qNeighborAgg _, qNeighborAggSql),
     "q_neighbor_agg_rel" -> (qNeighborAggRel _, qNeighborAggRelSql),
     "q_eval_two_set" -> (qEvalTwoSet _, qEvalTwoSetSql),
+    "q_embed_quantize" -> (qEmbedQuantize _, qEmbedQuantizeSql),
     "q_connected_components" -> (qConnectedComponents _, qConnectedComponentsSql),
     "q_events_window" -> (qEventsWindow _, qEventsWindowSql),
     "q_sessionize" -> (qSessionize _, qSessionizeSql))

@@ -132,10 +132,14 @@ object LshTopK {
     * by the recall-vs-exact tests; the exact path stays full float. */
   final val QScale = 32767f
 
+  /** The product is taken in DOUBLE (exact for f32 × 32767, ≤39
+    * mantissa bits) and rounded floor(x + 0.5) — cross-engine
+    * reproducible arithmetic, oracle-checked element-wise by
+    * `q_embed_quantize`. */
   def quantize(v: Array[Float]): Array[Short] = {
     val out = new Array[Short](v.length)
     var i = 0
-    while (i < v.length) { out(i) = math.round(v(i) * QScale).toShort; i += 1 }
+    while (i < v.length) { out(i) = math.round(v(i).toDouble * QScale).toShort; i += 1 }
     out
   }
 
