@@ -13,9 +13,14 @@ object BenchOne {
     val e = if (args.length > 1) args(1).toInt else 50000
     val dim = if (args.length > 2) args(2).toInt else 256
     val warm = if (args.length > 3) args(3).toInt else 1
+    // experiment overrides: decouple plan shape (partition counts) from
+    // core count, to isolate partitioning effects from parallelism
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", (cores * 4).toString).toInt
+    val defPar = sys.env.getOrElse("SPARK_GRAFT_DEFAULT_PAR", cores.toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.default.parallelism", defPar.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,7 +32,12 @@ object BenchOne {
         val si = sc.stageInfo
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         val m = si.taskMetrics
-        stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60), wall,
+        // first graft frame in the stage's callsite stack beats the
+        // generic lambda name Spark reports for SQL stages
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("BenchOne"))
+          .map(_.trim.take(80)).getOrElse(si.name.takeWhile(_ != '\n').take(60))
+        stages.put(si.stageId, (s"[${si.numTasks}t] $graftFrame", wall,
           m.executorRunTime, m.jvmGCTime, m.shuffleWriteMetrics.bytesWritten))
       }
     })

@@ -19,6 +19,21 @@ class BenchSpec extends AnyFunSuite {
     assert(!s.contains("kg_bench"))
   }
 
+  test("nextExtra: priority 4N, N, 4N — each budget-gated, caps respected") {
+    // plenty of budget: full 4N, N, 4N sequence then stop
+    assert(Bench.nextExtra(0, 0, 100, 2000, 400, 100).contains(true))
+    assert(Bench.nextExtra(0, 1, 200, 2000, 400, 100).contains(false))
+    assert(Bench.nextExtra(1, 1, 600, 2000, 400, 100).contains(true))
+    assert(Bench.nextExtra(1, 2, 700, 2000, 400, 100).isEmpty)
+    // tight budget: the expensive N is skipped but the cheap 4N still runs
+    assert(Bench.nextExtra(0, 1, 600, 800, 400, 100).contains(true))
+    // no budget at all: stop immediately
+    assert(Bench.nextExtra(0, 0, 790, 800, 400, 100).isEmpty)
+    // gate uses 1.3 × last observed cost
+    assert(Bench.nextExtra(0, 0, 669, 800, 400, 100).contains(true))  // 669+130 < 800
+    assert(Bench.nextExtra(0, 0, 671, 800, 400, 100).isEmpty)         // 671+130 > 800
+  }
+
   test("kg_bench line carries both throughputs and the efficiency") {
     val kg = Bench.KgBench(docs = 100000L, dim = 256, nLow = 2, nHigh = 8,
       secN = 704.1, sec4N = 196.0, samplesN = 2, samples4N = 1)
