@@ -62,6 +62,19 @@ object KgQueries {
       .select(col("srcId"), col("dstId"), col("rank"))
   }
 
+  /** SSL ablation alignment (align/SslPath — the reference's
+    * neighbor-free variant, model/layers_LaBSE_SSL.py): raw-embedding
+    * singleton blocks, MoCo-trained Linear(dim→dim) adapter with
+    * self-negatives, exact top-k + RSM. Rows-only (the adapter training
+    * has no ANSI-SQL twin); quality/determinism gated in SslSpec. */
+  def qKgSslAlignment(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = tinyCfg.copy(useSsl = true, useMoco = true,
+      moco = graft.align.MoCoConfig(batchSize = 8, queueLen = 4, epochs = 1,
+        lr0 = 0.02, combineShards = 8))
+    Pipeline.runSynthetic(spark, cfg).alignment.toDF()
+      .select(col("srcId"), col("dstId"), col("rank"), round(col("score"), 4).as("rsm_score"))
+  }
+
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -153,5 +166,6 @@ object KgQueries {
     "q_lsh_candidates" -> (qLshCandidates _),
     "q_ivf_candidates" -> (qIvfCandidates _),
     "q_kg_neighbor_blocks" -> (qKgNeighborBlocks _),
+    "q_kg_ssl_alignment" -> (qKgSslAlignment _),
     "q_media_features" -> (qMediaFeatures _))
 }

@@ -43,6 +43,12 @@ final case class PipelineConfig(
       * other two paths, so rsmThreshold stays path-independent. */
     useIvf: Boolean = false,
     useMoco: Boolean = false,
+    /** SSL ablation (align/SslPath, model/layers_LaBSE_SSL.py): skip the
+      * neighbor/GAT stage entirely and align on raw embeddings — with
+      * useMoco, a Linear(dim→dim) adapter is MoCo-trained over them with
+      * self-negatives (the reference's neighbor-free fine-tune path).
+      * Saves both neighbor-aggregation shuffles. */
+    useSsl: Boolean = false,
     topK: Int = Dims.TopK,
     /** auto path: corpus floats (rows × dim) above this → LSH. 5e7 floats
       * ≈ 200 MB broadcast — past that a driver collect/broadcast is the
@@ -196,11 +202,20 @@ object Pipeline {
     }
 
     // ---- stage 3: neighbor aggregation + encoding ----
-    val withSeq = idTriples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
-    val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
-    val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents)
-    val blocks = NeighborAgg.blocks(spark, ordered, embs, ents, cfg.embed.dim)
+    // SSL ablation skips the neighbor/GAT stage: singleton blocks over
+    // the raw embeddings (narrow broadcast join, zero extra shuffles)
+    val blocks =
+      if (cfg.useSsl) align.SslPath.singletonBlocks(spark, embs, ents)
+      else {
+        val withSeq = idTriples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
+        val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
+        val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents)
+        NeighborAgg.blocks(spark, ordered, embs, ents, cfg.embed.dim)
+      }
 
+    def fit(ev: Option[GatWeights => Double]): GatWeights =
+      if (cfg.useSsl) align.SslPath.train(spark, blocks, cfg.embed.dim, cfg.moco, ev)
+      else MoCoTrainer.train(spark, blocks, cfg.embed.dim, cfg.moco, ev)
     var validHit1: Option[Double] = None
     val weights: GatWeights =
       if (cfg.useMoco) validLinks match {
@@ -208,10 +223,9 @@ object Pipeline {
           // eval-every-epoch model selection (reference :452-486, DWY :442)
           val (score, close) = validationHook(spark, blocks, vl)
           val scores = scala.collection.mutable.ArrayBuffer.empty[Double]
-          try MoCoTrainer.train(spark, blocks, cfg.embed.dim, cfg.moco,
-            eval = Some(w => { val s = score(w); scores += s; s }))
+          try fit(Some(w => { val s = score(w); scores += s; s }))
           finally { validHit1 = scores.maxOption; close() }
-        case None => MoCoTrainer.train(spark, blocks, cfg.embed.dim, cfg.moco)
+        case None => fit(None)
       }
       else align.GatKernel.initWeights(cfg.embed.dim)
         .withNorms(cfg.moco.centerNorm, cfg.moco.neighborNorm)
