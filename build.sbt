@@ -33,16 +33,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stand-in. ~5-15 GB at bench scale, 126 GB available.
   "-Dspark.local.dir=/dev/shm/spark-graft",
   // local[32] executes 32 concurrent tasks in ONE JVM: at bench scale
-  // (100k docs, dim 256) the persisted banded LSH sets + shuffle buffers
-  // exceed an 8g heap and GC thrash inverts the 8-vs-32-core scaling
+  // (50-100k docs, dim 256) the persisted banded LSH sets + shuffle
+  // buffers GC-thrash an 8g heap and invert the core-scaling
   // measurement. The sandbox has 125 GiB; size like a real executor.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
-// Benchmarked mains only (not tests): pre-fault the whole heap at JVM
-// start. Growing the heap lazily makes every fresh allocation page-fault
-// through the hypervisor — those faults serialize across 32 threads and
-// were the measured anti-scaling of allocation-heavy stages.
+// Benchmarked mains only (not tests): Xms=Xmx so G1 never uncommits and
+// re-faults regions between the bench's per-level sessions (they share
+// one JVM). Deliberately NO -XX:+AlwaysPreTouch: this VM's guest-kernel
+// page-allocation path is pathologically slow AND variable (measured
+// 44-286 MB/s, 95%+ sys time, single-threaded dd to tmpfs; 8 GiB of
+// JVM pretouch cost 3-7 MINUTES wall) — pre-faulting 24g up front can
+// burn the whole bench budget before main() runs. With a fixed
+// committed heap the faults are paid lazily, exactly once, mostly
+// inside the warmup run that the bench already discards.
 run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-XX:+AlwaysPreTouch",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

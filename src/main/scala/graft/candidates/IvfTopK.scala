@@ -228,14 +228,10 @@ object IvfTopK {
         }
       }
 
-    // merge partial top-ks: each (src, dst) pair arrives at most once
-    val ranked = scored
-      .groupByKey(_._1)
-      .flatMapGroups { (src, it) =>
-        val buf = new LshTopK.TopKBuf(k)
-        it.foreach { case (_, dst, s) => buf.offer(s, dst) }
-        Iterator.tabulate(buf.n)(j => (src, buf.ids(j), buf.ss(j), j + 1))
-      }
+    // merge partial top-ks: each (src, dst) pair arrives at most once;
+    // LshTopK.mergeTopK aggregates MAP-SIDE (≤ one k-row partial per
+    // source per map partition crosses the merge shuffle)
+    val ranked = LshTopK.mergeTopK(scored, k)
 
     val calib = LshTopK.rsmCalib(qP, negBc)
     val result = ranked.toDF("srcId", "dstId", "cos", "rank")

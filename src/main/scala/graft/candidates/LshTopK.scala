@@ -172,7 +172,7 @@ object LshTopK {
     * encounter order). k ≤ 10: linear insert into parallel primitive
     * arrays; boxed PriorityQueue/sortBy comparators in these loops
     * dominated jstack samples and anti-scaled at 32 threads. */
-  private[candidates] final class TopKBuf(k: Int) {
+  private[graft] final class TopKBuf(k: Int) {
     val ss = new Array[Double](k)
     val ids = new Array[Long](k)
     var n = 0
@@ -185,6 +185,53 @@ object LshTopK {
         ss(p) = s; ids(p) = cid
         if (n < k) n += 1
       }
+    }
+  }
+
+  /** Map-side partial top-k merge over scored (src, dst, score) rows —
+    * each map partition reduces its rows to ≤ one k-row partial per
+    * source via a per-partition hash of [[TopKBuf]]s, so the merge
+    * shuffle carries partials (≤ k rows per (source, partition)), NOT
+    * every surviving candidate row (44.5M rows / 0.68 GB at E=50k —
+    * measured the second-largest shuffle write of the whole pipeline).
+    * Hand-rolled mapPartitions instead of a typed Aggregator on
+    * purpose: ObjectHashAggregateExec falls back to SORT-based
+    * aggregation past 128 distinct keys per partition
+    * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+    * with thousands of sources per partition a typed-Aggregator
+    * version sorted the full scored stream inside the scoring stage
+    * (measured ~4× that stage's task-time). Exactness: the buffer law
+    * (descending score, ties to the smaller id) makes insertion order
+    * irrelevant, so partial/merge composition equals the single-pass
+    * result — property-gated in OperatorSpec at 1/3/16 partitions.
+    * Memory: |sources-per-partition| × O(k) primitive arrays. */
+  private[graft] def mergeTopK(scored: Dataset[(Long, Long, Double)], k: Int): Dataset[(Long, Long, Double, Int)] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.mapPartitions { it =>
+      val m = new java.util.HashMap[Long, TopKBuf]()
+      it.foreach { r =>
+        var buf = m.get(r._1)
+        if (buf == null) { buf = new TopKBuf(k); m.put(r._1, buf) }
+        buf.offer(r._3, r._2)
+      }
+      val em = m.entrySet().iterator()
+      new Iterator[(Long, Array[Long], Array[Double])] {
+        def hasNext: Boolean = em.hasNext
+        def next(): (Long, Array[Long], Array[Double]) = {
+          val e = em.next(); val b = e.getValue
+          (e.getKey, java.util.Arrays.copyOf(b.ids, b.n), java.util.Arrays.copyOf(b.ss, b.n))
+        }
+      }
+    }
+    .groupByKey(_._1)
+    .flatMapGroups { (src, it) =>
+      val buf = new TopKBuf(k)
+      it.foreach { case (_, ids, ss) =>
+        var j = 0
+        while (j < ids.length) { buf.offer(ss(j), ids(j)); j += 1 }
+      }
+      Iterator.tabulate(buf.n)(j => (src, buf.ids(j), buf.ss(j), j + 1))
     }
   }
 
@@ -293,7 +340,19 @@ object LshTopK {
     // Persist: the banded sets feed BOTH the bucket-count job and the
     // main cogroup; without persist each action re-runs banding
     // (measured ~80 s redundant at 100k vectors).
-    val spread = spark.sparkContext.defaultParallelism * 4
+    // The partition count is DATA-derived (~64 MB of banded rows per
+    // partition), floored by the session parallelism — NOT a multiple of
+    // core count: the shuffle-write path carries a real per-output-
+    // partition cost (round-3 stack profile: 93% of map-task samples in
+    // BypassMergeSortShuffleWriter's LZ4-flush/write chain; 4× the
+    // partitions measured 2.3× the task-seconds for identical rows), so
+    // over-partitioning small data wastes exactly the resource this
+    // operator is bound by, while at the 100-TB design point the byte
+    // target keeps partitions bounded and spill-free regardless of
+    // cluster width.
+    val bandedBytes = nCorpus * cfg.bands * (dim * 2L + 8L * cfg.bands / 2 + 48)
+    val spread = math.max(spark.sparkContext.defaultParallelism,
+      (bandedBytes / (64L << 20)).toInt + 1)
     val qb = banded(qP.repartition(spread)).persist(StorageLevel.MEMORY_AND_DISK)
     val cb = banded(cP.repartition(spread)).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -348,19 +407,15 @@ object LshTopK {
         }
       }
 
-    // --- merge partial top-ks; narrow rows only. Cross-band dedup
-    // already guarantees each (src, dst) arrives at most once, so the
-    // merge is a streaming primitive top-k (a per-source sortBy here ran
-    // TimSort over boxed tuples and anti-scaled 45× at 32 threads) ---
-    val ranked = scored
-      .groupByKey(_._1)
-      .flatMapGroups { (src, it) =>
-        val buf = new TopKBuf(k)
-        it.foreach { case (_, dst, s) => buf.offer(s, dst) }
-        Iterator.tabulate(buf.n)(j => (src, buf.ids(j), buf.ss(j), j + 1))
-      }
+    // --- merge partial top-ks map-side ([[mergeTopK]]); narrow rows
+    // only. Cross-band dedup already guarantees each (src, dst) arrives
+    // at most once (a per-source sortBy here once ran TimSort over
+    // boxed tuples and anti-scaled 45× at 32 threads) ---
+    val ranked = mergeTopK(scored, k)
 
-    // --- RSM calibration: per-source mu/sigma vs the negative sample ---
+    // --- RSM calibration: per-source mu/sigma vs the negative sample
+    // (queries-scale rows — joined, NOT broadcast: at the design point
+    // the query side is billions of rows) ---
     val calib = rsmCalib(qP, negBc)
     val result = ranked.toDF("srcId", "dstId", "cos", "rank")
       .join(calib.toDF("srcId", "mu", "sigma"), "srcId")

@@ -8,6 +8,16 @@ import graft.{Pipeline, PipelineConfig}
   * (JIT state, heap debt) when diagnosing Bench variance.
   * Args: cores [entitiesPerKg] [dim] [warmup(0|1)] */
 object BenchOne {
+
+  /** Per-stage accounting row (diagnosis of anti-scaling): records and
+    * spill separate "more rows" from "fatter serialization" when shuffle
+    * bytes move between configurations. */
+  private final case class St(name: String, wall: Long, run: Long, gc: Long,
+                              deser: Long, fetchWait: Long,
+                              shufWB: Long, shufWRec: Long,
+                              shufRB: Long, shufRRec: Long,
+                              spillMem: Long, spillDisk: Long)
+
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val e = if (args.length > 1) args(1).toInt else 50000
@@ -21,12 +31,19 @@ object BenchOne {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.default.parallelism", defPar.toString)
+      // match graft.Bench's shuffle-write tuning (the measured hot path)
+      .config("spark.io.compression.lz4.blockSize", "512k")
+      .config("spark.shuffle.file.buffer", "1m")
+      // experiment knob: ≤ this many partitions uses the bypass writer
+      // (one stream PER PARTITION per map task); above it the sort-based
+      // writer (ONE stream per map task)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "200"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // per-stage wall + task-time + GC accounting (diagnosis of anti-scaling)
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long, Long)]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, St]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -37,8 +54,12 @@ object BenchOne {
         val graftFrame = si.details.linesIterator
           .find(l => l.contains("graft.") && !l.contains("BenchOne"))
           .map(_.trim.take(80)).getOrElse(si.name.takeWhile(_ != '\n').take(60))
-        stages.put(si.stageId, (s"[${si.numTasks}t] $graftFrame", wall,
-          m.executorRunTime, m.jvmGCTime, m.shuffleWriteMetrics.bytesWritten))
+        stages.put(si.stageId, St(s"[${si.numTasks}t] $graftFrame", wall,
+          m.executorRunTime, m.jvmGCTime, m.executorDeserializeTime,
+          m.shuffleReadMetrics.fetchWaitTime,
+          m.shuffleWriteMetrics.bytesWritten, m.shuffleWriteMetrics.recordsWritten,
+          m.shuffleReadMetrics.totalBytesRead, m.shuffleReadMetrics.recordsRead,
+          m.memoryBytesSpilled, m.diskBytesSpilled))
       }
     })
     def run(entities: Int): Double = {
@@ -55,14 +76,12 @@ object BenchOne {
     val sec = run(e)
     println(f"[benchone] cores=$cores e=$e dim=$dim sec=$sec%.2f docs_per_sec=${2.0 * e / sec}%.1f")
     import scala.jdk.CollectionConverters._
-    val top = stages.asScala.toSeq.sortBy(-_._2._2).take(12)
-    top.foreach { case (id, (name, wall, run, gc, sw)) =>
-      println(f"[benchone] stage=$id%-4d wall=${wall / 1000.0}%7.1fs taskSum=${run / 1000.0}%8.1fs gc=${gc / 1000.0}%7.1fs shufW=${sw / 1e9}%6.2fGB  $name")
+    val top = stages.asScala.toSeq.sortBy(-_._2.run).take(12)
+    top.foreach { case (id, s) =>
+      println(f"[benchone] stage=$id%-4d wall=${s.wall / 1000.0}%7.1fs taskSum=${s.run / 1000.0}%8.1fs gc=${s.gc / 1000.0}%6.1fs deser=${s.deser / 1000.0}%6.1fs fetchW=${s.fetchWait / 1000.0}%6.1fs shufW=${s.shufWB / 1e9}%6.2fGB/${s.shufWRec / 1e6}%5.1fM shufR=${s.shufRB / 1e9}%6.2fGB/${s.shufRRec / 1e6}%5.1fM spill=${s.spillDisk / 1e9}%5.2fGB  ${s.name}")
     }
-    val totGc = stages.asScala.values.map(_._4).sum
-    val totRun = stages.asScala.values.map(_._3).sum
-    val totShuf = stages.asScala.values.map(_._5).sum
-    println(f"[benchone] TOTAL taskSum=${totRun / 1000.0}%.1fs gc=${totGc / 1000.0}%.1fs shufWrite=${totShuf / 1e9}%.2fGB stages=${stages.size}")
+    val tot = stages.asScala.values
+    println(f"[benchone] TOTAL taskSum=${tot.map(_.run).sum / 1000.0}%.1fs gc=${tot.map(_.gc).sum / 1000.0}%.1fs deser=${tot.map(_.deser).sum / 1000.0}%.1fs shufWrite=${tot.map(_.shufWB).sum / 1e9}%.2fGB spillDisk=${tot.map(_.spillDisk).sum / 1e9}%.2fGB stages=${stages.size}")
     spark.stop()
   }
 }

@@ -34,6 +34,18 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.nextExtra(0, 0, 671, 800, 400, 100).isEmpty)         // 671+130 > 800
   }
 
+  test("nextRung: escalates on E^1.6 extrapolation with 1.2 margin; stops at top") {
+    val rungs = Seq(6250, 12500, 25000, 50000)
+    // doubling E predicts 2^1.6 ≈ 3.03× the pair cost, ×1.2 margin ≈ 3.64×
+    assert(Bench.nextRung(rungs, 0, elapsed = 100, budget = 780, pairCost = 100))   // 100+364 < 780
+    assert(!Bench.nextRung(rungs, 0, elapsed = 500, budget = 780, pairCost = 100))  // 500+364 > 780
+    // at the top rung there is nowhere to go regardless of budget
+    assert(!Bench.nextRung(rungs, 3, elapsed = 0, budget = 1e9, pairCost = 1))
+    // non-doubling step uses the actual ratio
+    assert(Bench.nextRung(Seq(10000, 15000), 0, 0, 200, pairCost = 80))   // 80×1.91×1.2 ≈ 184 < 200
+    assert(!Bench.nextRung(Seq(10000, 15000), 0, 20, 200, pairCost = 80)) // 204 > 200
+  }
+
   test("kg_bench line carries both throughputs and the efficiency") {
     val kg = Bench.KgBench(docs = 100000L, dim = 256, nLow = 2, nHigh = 8,
       secN = 704.1, sec4N = 196.0, samplesN = 2, samples4N = 1)
@@ -43,5 +55,21 @@ class BenchSpec extends AnyFunSuite {
     assert(s.contains("\"samples_n\":2") && s.contains("\"samples_4n\":1"))
     // eff = (100000/196.0) / (4 * 100000/704.1) = 704.1 / (4*196.0) = 0.898
     assert(s.contains("\"scaling_efficiency\":0.898"), s)
+  }
+
+  test("host calibration section renders and stays complete JSON") {
+    val kg = Bench.KgBench(100000L, 256, 2, 8, 704.1, 196.0, 1, 1)
+    val s = Bench.renderJson(battery, "/tmp/sf", Some(kg), Some((1412.3, 87.9)))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.contains("\"host_page_alloc_mb_s\":{\"t1\":1412,\"tn\":88}"), s)
+    // absent when not measured
+    assert(!Bench.renderJson(battery, "/tmp/sf", None).contains("host_page_alloc"))
+  }
+
+  test("allocProbe measures a positive rate and cleans up its files") {
+    val dir = java.nio.file.Files.createTempDirectory("alloc-probe").toFile
+    val r = Bench.allocProbe(2, dir.getAbsolutePath)
+    assert(r > 0)
+    assert(dir.listFiles((_, n) => n.startsWith("alloc-probe")).isEmpty)
   }
 }

@@ -42,6 +42,27 @@ class OperatorSpec extends SparkTestBase {
     assert(run(32) == expected)
   }
 
+  test("mergeTopK map-side partial merge == single-pass TopKBuf at any partitioning (property)") {
+    val rnd = new scala.util.Random(41)
+    // duplicate scores force the id tie-break; multiple sources mix groups
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(5).toLong, 1000L + rnd.nextInt(200), rnd.nextInt(25) / 10.0)
+    }
+    val k = 7
+    def expected(src: Long): Seq[(Long, Double)] = {
+      val buf = new LshTopK.TopKBuf(k)
+      rows.filter(_._1 == src).foreach { case (_, dst, s) => buf.offer(s, dst) }
+      Seq.tabulate(buf.n)(j => (buf.ids(j), buf.ss(j)))
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val got = LshTopK.mergeTopK(rows.toDS().repartition(parts), k).collect()
+        .groupBy(_._1)
+        .map { case (src, arr) => src -> arr.sortBy(_._4).map(t => (t._2, t._3)).toSeq }
+      for (src <- 0L until 5L)
+        assert(got.getOrElse(src, Nil) == expected(src), s"src=$src parts=$parts")
+    }
+  }
+
   // ---------- F1/W4: codepoint token features ----------
 
   test("codepoint tokenizer: Python-ord semantics, len 50, pad 32, non-BMP") {
