@@ -299,22 +299,24 @@ object Bench {
     def pairCost = samplesN.map(_._2).min + samples4N.map(_._2).min
     var idx = 0
     runPair(rungs(idx))
-    while (nextRung(rungs, idx, elapsed, budgetSec, pairCost)) {
-      idx += 1
-      System.err.println(f"[bench] escalating to E=${rungs(idx)} at elapsed $elapsed%.0f s")
-      runPair(rungs(idx))
-    }
-    // leftover budget de-noises the highest completed rung: extra
-    // samples by nextExtra's priority (4N, N, 4N), each budget-gated;
-    // a fresh line is emitted after every sample
-    var next = nextExtra(0, 0, elapsed, budgetSec,
-      samplesN.map(_._2).min, samples4N.map(_._2).min)
-    while (next.isDefined) {
-      if (next.contains(true)) samples4N ::= level(nHigh, rungs(idx))
-      else samplesN ::= level(nLow, rungs(idx))
-      emitKg()
-      next = nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, budgetSec,
-        samplesN.map(_._2).min, samples4N.map(_._2).min)
+    // interleave escalation with de-noising: escalate whenever the
+    // prediction from the CURRENT minima fits the budget — extra
+    // samples shrink the minima (noise is additive), so a rung that a
+    // noisy first pair priced out can come back into budget after a
+    // clean re-sample (observed: a slow first N sample over-predicted
+    // the next rung by 1.4× and stranded 300 s of budget)
+    var cont = true
+    while (cont) {
+      if (nextRung(rungs, idx, elapsed, budgetSec, pairCost)) {
+        idx += 1
+        System.err.println(f"[bench] escalating to E=${rungs(idx)} at elapsed $elapsed%.0f s")
+        runPair(rungs(idx))
+      } else nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, budgetSec,
+        samplesN.map(_._2).min, samples4N.map(_._2).min) match {
+        case Some(true)  => samples4N ::= level(nHigh, rungs(idx)); emitKg()
+        case Some(false) => samplesN ::= level(nLow, rungs(idx)); emitKg()
+        case None        => cont = false
+      }
     }
     System.err.println(f"[bench] done: E=${rungs(idx)} samples_n=${samplesN.size} samples_4n=${samples4N.size} elapsed $elapsed%.0f s of $budgetSec%.0f s")
   }

@@ -152,12 +152,9 @@ object IvfTopK {
     import spark.implicits._
     val qP = queries.persist(StorageLevel.MEMORY_AND_DISK)
     val cP = corpus.persist(StorageLevel.MEMORY_AND_DISK)
-    val nCorpus = cP.count()
-
-    // deterministic sample, reduced in sorted-id order on the driver
-    val rate = math.max(1L, nCorpus / math.max(1, cfg.sampleSize))
-    val sample = cP.filter(e => DetHash.nonNeg(DetHash.h1(13L, e.id)) % rate == 0L)
-      .collect().sortBy(_.id)
+    // count + deterministic smallest-hash sample in ONE corpus pass
+    // (LshTopK.countAndSample — partitioning-independent order statistics)
+    val (nCorpus, sample) = LshTopK.countAndSample(cP, cfg.sampleSize)
     require(sample.nonEmpty, "IvfTopK: empty corpus")
     val nCells =
       if (cfg.nCells > 0) cfg.nCells // explicit: caller owns sample quality

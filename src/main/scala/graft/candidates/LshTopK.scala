@@ -274,6 +274,30 @@ object LshTopK {
     }
   }
 
+  /** One pass over `ds` returning (row count, deterministic sample):
+    * the sample is the `sampleSize` rows with the SMALLEST
+    * (hash(id), id) — order statistics under a total order, so
+    * membership is independent of partitioning AND of the corpus size
+    * (a rate-filter needs the count first, forcing a second full scan;
+    * at the design point one scan of a billion-row corpus is the
+    * difference). treeAggregate merges the bounded partials
+    * executor-side, so the driver receives one ≤sampleSize buffer, not
+    * partitions × sampleSize. Returned rows are sorted by id (the
+    * driver-deterministic reduction order downstream code relies on). */
+  private[candidates] def countAndSample(ds: Dataset[Emb], sampleSize: Int): (Long, Array[Emb]) = {
+    type Acc = (Long, scala.collection.mutable.ArrayBuffer[(Long, Emb)])
+    def compact(v: scala.collection.mutable.ArrayBuffer[(Long, Emb)]) = {
+      val a = v.sortBy(t => (t._1, t._2.id)); a.takeInPlace(sampleSize); a
+    }
+    val (n, top) = ds.rdd.treeAggregate[Acc]((0L, scala.collection.mutable.ArrayBuffer.empty))(
+      seqOp = { case ((n, v), e) =>
+        v += ((DetHash.nonNeg(DetHash.h1(13L, e.id)), e))
+        (n + 1, if (v.length >= 2 * sampleSize) compact(v) else v)
+      },
+      combOp = { case ((n1, v1), (n2, v2)) => (n1 + n2, compact(v1 ++= v2)) })
+    (n, compact(top).map(_._2).toArray.sortBy(_.id))
+  }
+
   def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
            cfg: LshConfig = LshConfig()): Dataset[Candidate] = {
     import spark.implicits._
@@ -281,13 +305,8 @@ object LshTopK {
     // them so upstream stages (extraction, GAT encode) run exactly once
     val qP = queries.persist(StorageLevel.MEMORY_AND_DISK)
     val cP = corpus.persist(StorageLevel.MEMORY_AND_DISK)
-    val nCorpus = cP.count()
-
-    // --- deterministic corpus sample: hash-chosen rows (same members at
-    // any parallelism), reduced in sorted-id order on the driver ---
-    val rate = math.max(1L, nCorpus / math.max(1, cfg.sampleSize))
-    val sample = cP.filter(e => DetHash.nonNeg(DetHash.h1(13L, e.id)) % rate == 0L)
-      .collect().sortBy(_.id)
+    // count + deterministic sample in ONE corpus pass (see countAndSample)
+    val (nCorpus, sample) = countAndSample(cP, cfg.sampleSize)
     require(sample.nonEmpty, "LshTopK: empty corpus")
     val dim = sample(0).emb.length
     val projsBc = spark.sparkContext.broadcast(projections(cfg, dim))
