@@ -238,10 +238,24 @@ object Pipeline {
 
     // ---- stage 4: candidate top-k join (KG1 queries vs KG2 corpus) ----
     val kgOf = broadcast(ents.toDF().select(col("id"), col("kg")))
-    // persist: BOTH candidate sides (q1, c2) materialize this — without
-    // it the whole upstream (extraction → blocks → GAT encode) runs twice
-    val embById = encodedAll.join(kgOf, "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage cut + compute-once: BOTH candidate sides (q1, c2) read this
+    // — without it the whole upstream (extraction → blocks → GAT encode)
+    // runs twice. CHECKPOINT (not persist) because the candidate stage
+    // runs MANY actions (sample/count/score/merge jobs): a persist
+    // leaves the full upstream in every downstream logical plan, so each
+    // action re-analyzes and AQE re-plans the deep tree (measured multi-
+    // second driver gaps per job at bench scale — the serial floor that
+    // caps small-rung N-vs-4N scaling); the checkpoint's LogicalRDD makes
+    // every candidate-stage plan shallow. Same discipline as
+    // ConnectedComponents.cut: reliable checkpoint when the session has
+    // a checkpoint dir (real cluster — survives executor loss), lazy
+    // localCheckpoint otherwise (single box, where the first candidate
+    // job materializes the blocks and executor loss ≡ JVM loss anyway).
+    val embJoined = encodedAll.join(kgOf, "id")
+    val embById =
+      if (spark.sparkContext.getCheckpointDir.isDefined) embJoined.checkpoint()
+      else embJoined.localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q1 = embById.filter(col("kg") === 1).select(col("id"), col("emb")).as[Emb]
     val c2 = embById.filter(col("kg") === 2).select(col("id"), col("emb")).as[Emb]
     // lazy: the auto decision (and its dictionary count job) runs only
@@ -265,9 +279,14 @@ object Pipeline {
         r
     }
     // candidates are materialized on every path — the encoded-embedding
-    // cache has served both sides and can go (repeated runs in one
-    // session must not accumulate cached blocks, ADVICE r2)
-    embById.unpersist(blocking = false)
+    // blocks have served both sides and can go (repeated runs in one
+    // session must not accumulate cached blocks, ADVICE r2). A local-
+    // checkpointed Dataset's blocks live on its underlying RDD (Dataset
+    // .unpersist only reaches CacheManager entries), so free them there.
+    embById.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
     // ---- stage 5: canonicalization ----
     val acceptedEdges = cands.toDF()

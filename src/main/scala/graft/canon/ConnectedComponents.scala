@@ -37,10 +37,17 @@ import org.apache.spark.sql.expressions.Window
 object ConnectedComponents {
 
   /** Round lineage cut: reliable checkpoint when the session has a
-    * checkpoint dir, executor-local otherwise (see class doc). */
+    * checkpoint dir, executor-local otherwise (see class doc). The local
+    * form is LAZY — the checksum that immediately follows every cut
+    * materializes the blocks inside its own job, so each round costs ONE
+    * job instead of two (driver job-scheduling latency is the serial
+    * floor that Amdahl-caps small-corpus scaling; measured ~0.2-5 s per
+    * job gap on this VM). The reliable form stays eager: a lazy reliable
+    * checkpoint recomputes its lineage once more when writing the
+    * checkpoint files, which costs more than the job it saves. */
   private def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    else df.localCheckpoint(eager = false)
 
   private def largeStar(edges: DataFrame): DataFrame = {
     // symmetrize; per node u: m = min(N(u) ∪ {u}); emit (v, m) for v > u.

@@ -104,10 +104,15 @@ object VectorKernels {
     if (!spark.catalog.functionExists(CosineSimName)) {
       val ss = spark.getClass.getMethod("sessionState").invoke(spark)
       val fr = ss.getClass.getMethod("functionRegistry").invoke(ss)
+      // match the FULL parameter list: FunctionRegistry also has a
+      // 3-arg (FunctionIdentifier, FunctionBuilder, String) overload and
+      // getMethods order is unspecified, so arity-only selection picked
+      // a different overload run-to-run ("argument type mismatch")
       val reg = fr.getClass.getMethods.find { m =>
         m.getName == "registerFunction" && m.getParameterCount == 3 &&
-          m.getParameterTypes()(0) == classOf[FunctionIdentifier]
-      }.getOrElse(sys.error("FunctionRegistry.registerFunction not found"))
+          m.getParameterTypes()(0) == classOf[FunctionIdentifier] &&
+          m.getParameterTypes()(1) == classOf[ExpressionInfo]
+      }.getOrElse(sys.error("FunctionRegistry.registerFunction(id, info, builder) not found"))
       reg.invoke(fr, FunctionIdentifier(CosineSimName), cosineInfo, cosineBuilder)
     }
 

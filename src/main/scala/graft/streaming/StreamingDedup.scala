@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming exact deduplication — the continuous-ingest twin of the
+  * batch hash-groupBy dedup (TextQueries.qDedupExact): documents
+  * arriving as parquet files under a directory are emitted once per
+  * distinct text, duplicates dropped as they stream in.
+  *
+  * Bounded state at 100-TB scale: keying the dedup on the 64-bit text
+  * hash (not the text itself) keeps each state row at a fixed ~8 bytes
+  * of key, and `dropDuplicatesWithinWatermark` + `withWatermark` lets
+  * the state store EVICT keys older than the lateness horizon — an
+  * unbounded-corpus stream holds only the horizon's worth of keys, the
+  * same O(horizon) state discipline as StreamingEvents' windows. A
+  * duplicate arriving inside the horizon of its first occurrence is
+  * dropped (the exact-dedup contract for continuous ingest, where
+  * near-simultaneous re-crawls are the duplicate mode); one arriving
+  * after eviction re-emits — the standard watermark trade-off,
+  * re-resolved downstream by the batch dedup over the committed table.
+  *
+  * Hash-key caveat (declared, same as the batch MinHash family): a
+  * 64-bit collision conflates two distinct texts; at the reference's
+  * corpus sizes the birthday bound keeps that below ~1e-7 per 10^6
+  * docs, and the committed batch pass compares full texts.
+  */
+object StreamingDedup {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  /** Streaming (doc_id, ts, text) rows with duplicate texts dropped
+    * within `horizon` of first occurrence. State is keyed on
+    * xxhash64(text) and evicted past the watermark. */
+  def dedupDocs(spark: SparkSession, inputDir: String,
+                horizon: String = "10 minutes",
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val rd = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select(col("doc_id"), col("ts"), col("text"))
+  }
+
+  /** Batch twin over the same files — one row per distinct text (the
+    * first by event time, doc_id tie-break), for parity tests and for
+    * re-resolving post-eviction re-emits over the committed table. */
+  def dedupDocsBatch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("text_hash"))
+      .orderBy(col("ts").asc, col("doc_id").asc)
+    docs.withColumn("text_hash", xxhash64(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("ts"), col("text"))
+  }
+}

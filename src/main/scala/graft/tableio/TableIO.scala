@@ -57,6 +57,32 @@ object TableIO {
 
   def exists(base: String): Boolean = latestSnapshotId(base).isDefined
 
+  /** All committed snapshot ids of `base`, ascending. Data dirs of
+    * superseded snapshots are retained (commits write to fresh
+    * `data/snap-<n>` dirs), so every id listed here is readable via
+    * [[readAt]] — the reproducibility contract a training pipeline
+    * needs (re-run an experiment against the exact table version it
+    * read, Iceberg-style time travel). */
+  def snapshotIds(base: String): Seq[Long] = {
+    val md = metaDir(base)
+    if (!Files.isDirectory(md)) Nil
+    else Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  /** Time-travel read: the table exactly as committed at snapshot `id`.
+    * Metadata-only resolution — no data scan beyond the snapshot's own
+    * files, same as [[read]]. */
+  def readAt(spark: SparkSession, base: String, id: Long): DataFrame = {
+    if (!Files.exists(metaDir(base).resolve(s"snapshot-$id.json")))
+      throw new IllegalStateException(
+        s"no snapshot $id at $base (have: ${snapshotIds(base).mkString(",")})")
+    spark.read.parquet(s"$base/data/snap-$id")
+  }
+
   /** Per-file row counts of a committed data dir, read from parquet
     * footers only — one entry per physical write partition. */
   private def footerCounts(spark: SparkSession, dataPath: String): Map[String, Long] = {

@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Counts Spark jobs/stages and the driver-side gaps BETWEEN jobs during
+  * one pipeline run — the structural serial floor that Amdahl-caps the
+  * N-vs-4N scaling pair at small rung sizes (each job pays fixed
+  * scheduling latency; gaps between jobs are pure driver time). Wall
+  * numbers on this VM swing with host windows; job/stage counts do not. */
+object JobCount {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 8
+    val e = if (args.length > 1) args(1).toInt else 25000
+    val dim = if (args.length > 2) args(2).toInt else 256
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.default.parallelism", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var gapMs = 0L
+    @volatile var inJobMs = 0L
+    @volatile var lastEnd = 0L
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
+        jobs += 1
+        val gap = if (lastEnd > 0) j.time - lastEnd else 0L
+        if (lastEnd > 0) gapMs += gap
+        val site = j.stageInfos.lastOption.map(s => s.name.take(80)).getOrElse("?")
+        println(f"[job] #${j.jobId}%3d gap=${gap / 1000.0}%6.2f s  $site")
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized { lastEnd = j.time }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = synchronized {
+        stages += 1
+        inJobMs += s.stageInfo.completionTime.getOrElse(0L) - s.stageInfo.submissionTime.getOrElse(0L)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val cfg = graft.PipelineConfig(
+      synth = graft.ingest.SynthConfig(entitiesPerKg = e),
+      embed = graft.embed.EmbedderConfig(dim = dim), useLsh = Some(true))
+    val t0 = System.nanoTime()
+    val n = graft.Pipeline.runSynthetic(spark, cfg).canonicalTriples.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the listener bus drain
+    println(f"[jobcount] cores=$cores E=$e triples=$n wall=$wall%.1f s jobs=$jobs stages=$stages " +
+      f"between_jobs=${gapMs / 1000.0}%.1f s stage_time=${inJobMs / 1000.0}%.1f s")
+    spark.stop()
+  }
+}

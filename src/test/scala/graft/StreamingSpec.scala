@@ -128,4 +128,77 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.length == 4, s"expected all 4 windows, got ${batch.length}")
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming exact dedup drops in-horizon duplicates and matches the batch twin") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_dedup").toString
+    // 40 docs over 20 distinct texts, all within one watermark horizon —
+    // every text must be emitted exactly once
+    val rows = (0 until 40).map { i =>
+      (s"d$i", java.sql.Timestamp.valueOf(f"2026-01-01 00:00:${i % 50}%02d"), s"text_${i % 20}")
+    }
+    rows.toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = graft.streaming.StreamingDedup.dedupDocs(spark, dir)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT text FROM stream_dedup")
+      .collect().map(_.getString(0)).sorted
+    val batch = graft.streaming.StreamingDedup.dedupDocsBatch(
+      spark.read.schema(graft.streaming.StreamingDedup.docSchema).parquet(dir))
+      .select($"text").collect().map(_.getString(0)).sorted
+    assert(streamed.length == 20, s"expected 20 distinct texts, got ${streamed.length}")
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming dedup state is bounded: keys evicted past the horizon re-emit") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_dedup_evict")
+    val stage = Files.createTempDirectory("graft_stream_dedup_stage").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: A at 00:00 (+ an in-horizon dup to prove the drop),
+    // batch 2: B at 00:30 → advances the watermark to 00:20, past A's
+    //          expiry (event time + 10 min horizon = 00:10),
+    // batch 3: C at 00:31 — DURING this batch's commit the state store
+    //          evicts A (Spark removes expired keys at end-of-batch,
+    //          after input processing, so an arrival in the eviction
+    //          batch itself would still be deduplicated),
+    // batch 4: A again at 00:25 (not late vs watermark 00:21) → with
+    //          state evicted it must RE-emit — the bounded-state
+    //          trade-off the operator documents.
+    Seq(("d1", ts("2026-01-01 00:00:00"), "A"), ("dup", ts("2026-01-01 00:01:00"), "A"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(s"$stage/f0")
+    Seq(("d2", ts("2026-01-01 00:30:00"), "B"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(s"$stage/f1")
+    Seq(("d4", ts("2026-01-01 00:31:00"), "C"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(s"$stage/f2")
+    Seq(("d3", ts("2026-01-01 00:25:00"), "A"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(s"$stage/f3")
+    def movePart(from: String, to: String, mtimeOffsetSec: Long): Unit = {
+      val part = new java.io.File(from).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(to)
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetSec * 1000))
+    }
+    movePart(s"$stage/f0", "000.parquet", -180)
+    movePart(s"$stage/f1", "001.parquet", -120)
+    movePart(s"$stage/f2", "002.parquet", -60)
+    movePart(s"$stage/f3", "003.parquet", 0)
+
+    val q = graft.streaming.StreamingDedup
+      .dedupDocs(spark, dir.toString, horizon = "10 minutes", maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("stream_dedup_evict")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.sql("SELECT doc_id, text FROM stream_dedup_evict")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    // d1 (first A), d2 (B), d4 (C), d3 (A re-emitted after eviction);
+    // dup dropped
+    assert(out.map(_._1).sameElements(Array("d1", "d2", "d3", "d4")),
+      s"got ${out.mkString(",")}")
+  }
 }

@@ -55,6 +55,21 @@ class TableIOSpec extends SparkTestBase {
     assert(Files.exists(Path.of(base, "data", "snap-1", "bucket=0")))
   }
 
+  test("time travel: every committed snapshot stays readable as-committed") {
+    val base = tmp()
+    TableIO.commit(spark, Seq((1L, "a")).toDF("k", "v"), base, "s")
+    TableIO.commit(spark, Seq((2L, "b"), (3L, "c")).toDF("k", "v"), base, "s")
+    TableIO.commit(spark, Seq((4L, "d")).toDF("k", "v"), base, "s")
+    assert(TableIO.snapshotIds(base) == Seq(0L, 1L, 2L))
+    // readAt(id) returns the table exactly as of that commit
+    assert(TableIO.readAt(spark, base, 0).collect().map(_.getLong(0)).sorted.sameElements(Array(1L)))
+    assert(TableIO.readAt(spark, base, 1).collect().map(_.getLong(0)).sorted.sameElements(Array(2L, 3L)))
+    // read() is readAt(latest)
+    assert(TableIO.read(spark, base).collect().map(_.getLong(0)).sameElements(
+      TableIO.readAt(spark, base, 2).collect().map(_.getLong(0))))
+    intercept[IllegalStateException](TableIO.readAt(spark, base, 9))
+  }
+
   test("pipeline resume: second run reuses all stage snapshots") {
     val dir = tmp()
     val cfg = PipelineConfig(
