@@ -233,6 +233,35 @@ object EmbedQueries {
        SELECT node, min(r) AS component FROM (
          SELECT node, r FROM reach UNION SELECT node, node FROM reach) GROUP BY node"""
 
+  // ---------- incremental CC: committed assignment + delta batch ----------
+
+  /** Continuous-construction mode: batch 1 (nation→region hubs) is
+    * committed via [[graft.canon.ConnectedComponents.run]], then a
+    * supplier-derived delta batch merges hubs and introduces unseen
+    * nodes via [[graft.canon.ConnectedComponents.incremental]]. The
+    * oracle is the full recursive-CTE closure over BOTH batches — the
+    * exactness invariant `incremental(run(E1), E2) == run(E1 ∪ E2)`,
+    * labels included. */
+  def qCcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("a"), (col("n_regionkey") + 100).cast("long").as("b"))
+    val e2 = t(spark, dir, "supplier")
+      .select((col("s_suppkey") % 25).cast("long").as("a"), ((col("s_suppkey") % 7) + 100).cast("long").as("b"))
+    val prior = graft.canon.ConnectedComponents.run(spark, e1)
+    graft.canon.ConnectedComponents.incremental(spark, prior, e2)
+  }
+
+  val qCcIncrementalSql =
+    """WITH RECURSIVE e AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_regionkey + 100 AS BIGINT) AS b FROM nation
+         UNION
+         SELECT CAST(s_suppkey % 25 AS BIGINT) AS a, CAST(s_suppkey % 7 + 100 AS BIGINT) AS b FROM supplier),
+       sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       reach AS (SELECT a AS node, b AS r FROM sym
+                 UNION SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+       SELECT node, min(r) AS component FROM (
+         SELECT node, r FROM reach UNION SELECT node, node FROM reach) GROUP BY node"""
+
   // ---------- event-time tumbling window ----------
 
   def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
@@ -276,6 +305,7 @@ object EmbedQueries {
     "q_eval_two_set" -> (qEvalTwoSet _, qEvalTwoSetSql),
     "q_embed_quantize" -> (qEmbedQuantize _, qEmbedQuantizeSql),
     "q_connected_components" -> (qConnectedComponents _, qConnectedComponentsSql),
+    "q_cc_incremental" -> (qCcIncremental _, qCcIncrementalSql),
     "q_events_window" -> (qEventsWindow _, qEventsWindowSql),
     "q_sessionize" -> (qSessionize _, qSessionizeSql))
 }

@@ -110,4 +110,109 @@ object ConnectedComponents {
       .withColumn("component", col("node"))
     nodes.unionByName(roots).groupBy("node").agg(min("component").as("component"))
   }
+
+  /** Incremental merge — the continuous-construction operating mode: a
+    * COMMITTED assignment (node, component) plus a DELTA batch of new
+    * edges, recomputing only the components the delta touches.
+    *
+    * At the 10^12-doc design point a full [[run]] re-shuffles the whole
+    * edge set for every arriving batch; here the prior assignment is
+    * scanned narrowly instead — `touchedComps` (≤ 2·|delta| rows) rides
+    * BROADCAST joins, so untouched components stream through a
+    * broadcast anti-join with no shuffle and no star rounds. Only the
+    * touched components' members re-enter the large/small-star loop,
+    * folded in as star edges (node → component), which preserve exactly
+    * their connectivity.
+    *
+    * EXACT equivalence, labels included:
+    * `incremental(run(E1), E2) == run(E1 ∪ E2)` — star edges keep each
+    * prior component's node set intact, so the merged component's
+    * min-id label is the min over the identical node set either way
+    * (gated by OperatorSpec equality tests). Brand-new nodes appear in
+    * the delta and are labeled by the same merge. The delta is assumed
+    * small relative to the corpus (the continuous-ingest shape); a
+    * delta comparable to the corpus should just re-[[run]].
+    */
+  def incremental(spark: SparkSession, priorAssign: DataFrame,
+                  newEdges0: DataFrame, maxIter: Int = 20): DataFrame = {
+    val prior = priorAssign
+      .select(col("node").cast("long"), col("component").cast("long"))
+    val newEdges = newEdges0
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b")).distinct()
+    val endpoints = newEdges.select(col("a").as("node"))
+      .unionByName(newEdges.select(col("b").as("node"))).distinct()
+    // components owning a delta endpoint; delta-sized by construction
+    val touchedComps = broadcast(
+      prior.join(broadcast(endpoints), "node").select("component").distinct())
+    // every member of a touched component re-enters the merge as a star
+    // edge; singleton roots carry no star edge but are delta endpoints
+    // by definition of touched, so run() still covers them
+    val starEdges = prior.join(touchedComps, "component")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("a"), col("component").as("b"))
+    val merged = run(spark, starEdges.unionByName(newEdges), maxIter)
+    // USING-join moves the join column first — re-fix (node, component)
+    prior.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(merged)
+  }
+
+  private def norm(edges: DataFrame): DataFrame =
+    edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+
+  /** Full maintenance — additions AND removals. A removed alignment edge
+    * (a committed query whose rank-1 target changed under a grown corpus)
+    * can SPLIT a component, which [[incremental]]'s addition-only merge
+    * cannot express — so touched components are REBUILT from their
+    * original edges: `edgesTable` is the committed accepted-edge set the
+    * prior assignment was computed from (the continuous pipeline keeps it
+    * as an append/tombstone table next to the assignment).
+    *
+    * Cost shape at the 10^12 design point: touched components and their
+    * members are delta-sized (alignment components are near-pairs,
+    * diameter ≤ 3); the committed edge table is scanned ONCE, filtered by
+    * a semi-join against the touched-member set — no star rounds run over
+    * untouched components, which stream through the same broadcast
+    * anti-join as [[incremental]].
+    *
+    * Contract (gated by OperatorSpec): nodes never disappear —
+    * `maintain(run(E), E, add, rem)` equals
+    * `run((E ∖ rem) ∪ add)` plus `(n, n)` for every prior node left
+    * edgeless by the removals. Edge identity is undirected: (a,b) and
+    * (b,a) are the same edge on every input. */
+  def maintain(spark: SparkSession, priorAssign: DataFrame, edgesTable: DataFrame,
+               added0: DataFrame, removed0: DataFrame, maxIter: Int = 20): DataFrame = {
+    val prior = priorAssign
+      .select(col("node").cast("long"), col("component").cast("long"))
+    val committed = norm(edgesTable)
+    val added = norm(added0)
+    val removed = norm(removed0)
+    val newEdges = committed.join(removed, Seq("a", "b"), "left_anti").unionByName(added)
+    // delta endpoints — components owning any touch re-enter the rebuild
+    val deltaNodes = added.unionByName(removed)
+    val endpoints = deltaNodes.select(col("a").as("node"))
+      .unionByName(deltaNodes.select(col("b").as("node"))).distinct()
+    val touchedComps = broadcast(
+      prior.join(broadcast(endpoints), "node").select("component").distinct())
+    // touched members + brand-new nodes; closure ⇒ every edge with one
+    // endpoint here has BOTH endpoints here, so one semi-join suffices
+    val members = prior.join(touchedComps, "component").select("node")
+      .unionByName(endpoints).distinct()
+    val rebuildEdges = newEdges.join(broadcast(members),
+      newEdges("a") === members("node"), "left_semi")
+    val rebuilt = run(spark, rebuildEdges, maxIter)
+    // PRIOR members left edgeless by removals still exist — as singletons
+    // (endpoints seen only in no-op removals never existed and stay out;
+    // added endpoints always carry their added edge into the rebuild)
+    val isolated = prior.join(touchedComps, "component").select("node")
+      .join(rebuilt.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    prior.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(rebuilt).unionByName(isolated)
+  }
 }

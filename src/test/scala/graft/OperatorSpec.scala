@@ -259,6 +259,132 @@ class OperatorSpec extends SparkTestBase {
     assert(wrote > 0, "expected RDD checkpoint files under the checkpoint dir")
   }
 
+  // ---------- CC: incremental delta merge ----------
+
+  private def ccAsMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("incremental CC == full CC on the union (merge, new nodes, intra-component delta)") {
+    // one delta exercising every case at once: an edge MERGING two prior
+    // components (3-10), an edge INSIDE one component (20-22, no label
+    // change), a brand-new component (100-101), and a new node attached
+    // to an existing component (11-200)
+    val e1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L),
+      (30L, 31L)).toDF("a", "b")
+    val e2 = Seq((3L, 10L), (20L, 22L), (100L, 101L), (11L, 200L)).toDF("a", "b")
+    val prior = ConnectedComponents.run(spark, e1)
+    val got = ccAsMap(ConnectedComponents.incremental(spark, prior, e2))
+    val full = ccAsMap(ConnectedComponents.run(spark, e1.unionByName(e2)))
+    assert(got == full)
+    // the untouched component (30,31) must pass through label-intact
+    assert(got(30L) == 30L && got(31L) == 30L)
+    // and the merged one takes the global min id
+    assert(got(200L) == 1L && got(10L) == 1L)
+  }
+
+  test("incremental CC: untouched components bypass the star loop via broadcast anti-join") {
+    val e1 = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val e2 = Seq((2L, 3L)).toDF("a", "b")
+    val prior = ConnectedComponents.run(spark, e1)
+    val out = ConnectedComponents.incremental(spark, prior, e2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected broadcast anti-join pass-through, got:\n$plan")
+    assert(ccAsMap(out) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("incremental CC equals full CC on a seeded random graph split (property)") {
+    // deterministic splitmix-style stream; 300 edges over 120 nodes split
+    // 60/40 into committed + delta — dense enough that the delta both
+    // merges prior components and introduces unseen nodes
+    def mix(i: Long): Long = { var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL; z ^ (z >>> 31) }
+    val edges = (0 until 300).map { i =>
+      (math.floorMod(mix(i * 2L), 120).toLong, math.floorMod(mix(i * 2L + 1), 120).toLong) }
+      .filter { case (a, b) => a != b }
+    val (h1, h2) = edges.splitAt(180)
+    val e1 = h1.toDF("a", "b"); val e2 = h2.toDF("a", "b")
+    val prior = ConnectedComponents.run(spark, e1)
+    val got = ccAsMap(ConnectedComponents.incremental(spark, prior, e2))
+    val full = ccAsMap(ConnectedComponents.run(spark, e1.unionByName(e2)))
+    assert(got == full)
+  }
+
+  test("incremental CC composes: two deltas == one full run") {
+    val e1 = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val e2 = Seq((2L, 3L)).toDF("a", "b")
+    val e3 = Seq((3L, 5L), (7L, 8L)).toDF("a", "b")
+    val a1 = ConnectedComponents.run(spark, e1)
+    val a2 = ConnectedComponents.incremental(spark, a1, e2)
+    val a3 = ccAsMap(ConnectedComponents.incremental(spark, a2, e3))
+    val full = ccAsMap(ConnectedComponents.run(spark, e1.unionByName(e2).unionByName(e3)))
+    assert(a3 == full)
+  }
+
+  // ---------- CC: full maintenance (additions + removals) ----------
+
+  /** spec: run over the post-change edge set, plus (n,n) for every prior
+    * node the removals left edgeless */
+  private def maintainSpec(e: Seq[(Long, Long)], add: Seq[(Long, Long)],
+                           rem: Seq[(Long, Long)], priorNodes: Set[Long]): Map[Long, Long] = {
+    val remSet = rem.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val newE = (e.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filterNot(remSet.contains) ++ add).filter { case (a, b) => a != b }
+    val full = if (newE.isEmpty) Map.empty[Long, Long]
+      else ccAsMap(ConnectedComponents.run(spark, newE.toDF("a", "b")))
+    full ++ (priorNodes -- full.keySet).map(n => n -> n)
+  }
+
+  test("CC maintain: removal splits a component exactly") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val prior = ConnectedComponents.run(spark, e.toDF("a", "b"))
+    val got = ccAsMap(ConnectedComponents.maintain(spark, prior, e.toDF("a", "b"),
+      Seq.empty[(Long, Long)].toDF("a", "b"), Seq((2L, 3L)).toDF("a", "b")))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("CC maintain: removing a component's only edge leaves singletons; (b,a) matches (a,b)") {
+    val e = Seq((1L, 2L), (10L, 11L))
+    val prior = ConnectedComponents.run(spark, e.toDF("a", "b"))
+    // removal arrives direction-flipped
+    val got = ccAsMap(ConnectedComponents.maintain(spark, prior, e.toDF("a", "b"),
+      Seq.empty[(Long, Long)].toDF("a", "b"), Seq((2L, 1L)).toDF("a", "b")))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("CC maintain: mixed add+remove, untouched components pass through") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val prior = ConnectedComponents.run(spark, e.toDF("a", "b"))
+    // the rank-1-replacement shape: 2's edge moves from 3 to 10's component
+    val add = Seq((2L, 10L), (30L, 31L))
+    val rem = Seq((2L, 3L))
+    val got = ccAsMap(ConnectedComponents.maintain(spark, prior, e.toDF("a", "b"),
+      add.toDF("a", "b"), rem.toDF("a", "b")))
+    assert(got == maintainSpec(e, add, rem, Set(1L, 2L, 3L, 10L, 11L, 20L, 21L)))
+    assert(got(20L) == 20L && got(21L) == 20L) // untouched
+    assert(got(3L) == 3L)                      // split off
+    assert(got(10L) == 1L)                     // merged across
+  }
+
+  test("CC maintain equals full rebuild on a seeded random add/remove batch (property)") {
+    def mix(i: Long): Long = { var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL; z ^ (z >>> 31) }
+    val all = (0 until 260).map { i =>
+      (math.floorMod(mix(i * 3L), 90).toLong, math.floorMod(mix(i * 3L + 1), 90).toLong) }
+      .filter { case (a, b) => a != b }
+    val e = all.take(160)
+    val add = all.drop(160).take(60)
+    // remove a deterministic slice of the committed edges + some no-ops
+    val rem = e.zipWithIndex.collect { case ((a, b), i) if i % 5 == 0 => (b, a) } ++
+      Seq((500L, 501L))
+    val prior = ConnectedComponents.run(spark, e.toDF("a", "b"))
+    val priorNodes = ccAsMap(prior).keySet
+    val got = ccAsMap(ConnectedComponents.maintain(spark, prior, e.toDF("a", "b"),
+      add.toDF("a", "b"), rem.toDF("a", "b")))
+    assert(got == maintainSpec(e, add, rem, priorNodes))
+  }
+
   test("connected components: 10^5-degree hub converges without array rows") {
     // the min-propagation form streams a hub's neighbors through the
     // window sorter — the round-1 collect_set form built one array row
