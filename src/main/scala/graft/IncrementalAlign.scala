@@ -1,0 +1,395 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.kg._
+import graft.align.{GatKernel, GatWeights, MoCoTrainer}
+import graft.candidates.ScoredTopK
+import graft.candidates.ScoredTopK.ScoredQuery
+import graft.canon.ConnectedComponents
+import graft.embed.{Embedder, EmbedderConfig}
+import graft.extract.Extraction
+import graft.graph.NeighborAgg
+
+/** CONTINUOUS KG construction — the operating mode the 10^12-doc design
+  * point actually runs in: a committed alignment state plus an arriving
+  * DELTA batch of documents, updated with delta-sized work instead of a
+  * full pipeline re-run per batch.
+  *
+  * EXACTNESS CONTRACT (gated by IncrementalSpec):
+  * `delta(initial(docs1, ents1), docs2, ents2) == initial(docs1 ∪ docs2,
+  * ents1 ∪ ents2)` — bit-identical top-k lists, cosines, RSM moments and
+  * acceptance, identical accepted edges, an assignment identical as a
+  * function (maintenance keeps removal-orphaned nodes as explicit
+  * singletons; a from-scratch run simply omits them — both mean
+  * canon(n) = n), and identical canonical triples. Requires the natural
+  * ingest closure: committed docs mention only committed entity names
+  * (new dictionary entries apply prospectively — a delta name never
+  * re-links an already-committed document).
+  *
+  * How each stage stays delta-sized (or one narrow pass):
+  *  - extraction runs on the delta docs only, against the union
+  *    dictionary (broadcast join, same as the batch path);
+  *  - TOUCHED = delta entities ∪ endpoints of delta triples. Only
+  *    touched entities re-enter neighbor aggregation + GAT encoding —
+  *    their full incident edge set is fetched from the committed triple
+  *    table with one broadcast-membership scan;
+  *  - candidate maintenance over the committed per-query state
+  *    ([[graft.candidates.ScoredTopK]]): queries whose encoding is
+  *    stale (touched KG1) or whose committed top-k contains a
+  *    re-encoded KG2 row re-score against the full corpus in ONE
+  *    broadcast-queries pass; every other query merges the broadcast
+  *    delta corpus (new + re-encoded KG2 rows) into its committed list
+  *    map-only — disjoint-slice top-k merge is exact, and the
+  *    order-statistic calibration sample merges exactly
+  *    (ScoredTopK laws);
+  *  - canonicalization runs [[ConnectedComponents.maintainDetailed]] on
+  *    the accepted-edge diff (additions AND removals — a re-scored
+  *    query can retract its committed edge, splitting a component);
+  *  - canonical triples are rewritten only where a node's component
+  *    CHANGED (the maintenance change set) or a delta triple arrived;
+  *    every other committed row passes through untouched.
+  *
+  * Per-batch cost at scale: all state passes are map-only scans
+  * (committed tables are never shuffled); the driver holds only
+  * delta-sized sets plus the fixed calibration sample. The one
+  * full-corpus collect lives in [[initial]]'s bootstrap scorer — at the
+  * design point the bootstrap is the regular batch pipeline (LSH/IVF
+  * candidate paths) and only [[delta]] runs per batch; the rescore pass
+  * could probe a committed LSH/IVF index instead of scanning the corpus,
+  * the documented next step down that path. */
+final case class IncrementalConfig(
+    embed: EmbedderConfig = EmbedderConfig(),
+    topK: Int = Dims.TopK,
+    rsmThreshold: Double = 2.0,
+    sampleSize: Int = 512,
+    /** per-phase wall + set-size diagnostics on stderr */
+    diag: Boolean = false)
+
+/** Committed state — one row per KG1 query in `topk` (the scored
+  * candidate table, query encodings denormalized in), current encodings
+  * for every entity, the accepted-edge set, the canonicalization
+  * assignment, and the canonical triple table WITH (head, rel, tail)
+  * lineage columns so maintenance can relabel narrowly. */
+final case class AlignState(
+    ents: Dataset[Entity],
+    idTriples: Dataset[Triple],
+    rawEmbs: Dataset[Emb],
+    /** (id, kg, emb) — current (GAT-encoded or raw-fallback) encodings */
+    encoded: DataFrame,
+    topk: Dataset[ScoredQuery],
+    /** calibration sample ids, ascending (ScoredTopK.sampleIdsOf law) */
+    sampleIds: Array[Long],
+    /** accepted alignment edges (a = KG1 query, b = KG2 target) */
+    accepted: DataFrame,
+    assignment: DataFrame,
+    /** (head, rel, tail, subj, pred, obj, subjId, objId) */
+    canonical: DataFrame,
+    weights: GatWeights)
+
+object IncrementalAlign {
+
+  /** per-query maintenance row: updated state + the committed accepted
+    * edge it replaces (for the CC diff) + whether a full re-score is
+    * required (stale encoding or stale committed list). Public only
+    * because Catalyst's generated encoder class must reach it. */
+  final case class Maint(q: ScoredQuery, oldAccepted: Long, rescore: Boolean)
+
+  private def lvl = StorageLevel.MEMORY_AND_DISK
+
+  /** State-boundary lineage cut (the Pipeline stage-4 discipline):
+    * every AlignState component is re-referenced many times by the next
+    * delta — and feeds the one after that — so a persist-only state
+    * compounds plan depth per batch until the driver spends its time
+    * formatting/analyzing exponential plan trees (measured: a 3-batch
+    * test never finished under persist; the cut makes each generation's
+    * plans start from a LogicalRDD). Reliable checkpoint when the
+    * session has a checkpoint dir (real cluster), lazy local otherwise. */
+  private def cut[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint()
+    else ds.localCheckpoint(eager = false, lvl)
+
+  private def cutDf(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(eager = false, lvl)
+
+  /** blocks for the given triples; centers restricted to `centers` when
+    * given (the touched set) — identical per-center rows to a full run
+    * because a center's complete incident edge set is present */
+  private def blocksFor(spark: SparkSession, triples: Dataset[Triple], ents: Dataset[Entity],
+                        rawEmbs: Dataset[Emb], dim: Int,
+                        centers: Option[Set[Long]]): Dataset[NeighborBlock] = {
+    import spark.implicits._
+    val withSeq = triples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
+    val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
+    val ordered0 = NeighborAgg.orderedNeighbors(spark, edges, ents)
+    val ordered = centers match {
+      case Some(cs) =>
+        val bc = spark.sparkContext.broadcast(cs)
+        ordered0.filter(r => bc.value.contains(r._1))
+      case None => ordered0
+    }
+    NeighborAgg.blocks(spark, ordered, rawEmbs, ents, dim)
+  }
+
+  /** encode the given id set: GAT over its blocks, raw-embedding
+    * fallback for blockless entities (the batch pipeline's encodedAll
+    * discipline) → (id, kg, emb) */
+  private def encodeIds(spark: SparkSession, ids: Set[Long], kgOf: Map[Long, Int],
+                        triples: Dataset[Triple], ents: Dataset[Entity],
+                        rawEmbs: Dataset[Emb], weights: GatWeights,
+                        dim: Int): DataFrame = {
+    import spark.implicits._
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcKg = spark.sparkContext.broadcast(kgOf)
+    val blocks = blocksFor(spark, triples, ents, rawEmbs, dim, Some(ids))
+    val enc = MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb")
+    val blockless = rawEmbs.filter(e => bcIds.value.contains(e.id)).toDF("id", "emb")
+      .join(enc.select("id"), Seq("id"), "left_anti")
+    enc.unionByName(blockless).as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, bcKg.value(id), emb) }
+      .toDF("id", "kg", "emb")
+  }
+
+  /** canonical materialization with (head, rel, tail) lineage retained —
+    * the batch pipeline's stage 6 over an arbitrary triple subset */
+  private def materialize(spark: SparkSession, triples: Dataset[Triple],
+                          assignment: DataFrame, ents: Dataset[Entity]): DataFrame = {
+    val canonMap = assignment.select(col("node"), col("component"))
+    val names = ents.toDF().select(col("id"), col("name"))
+    triples.toDF()
+      .join(canonMap.withColumnRenamed("node", "head").withColumnRenamed("component", "subjId"), Seq("head"), "left")
+      .join(canonMap.withColumnRenamed("node", "tail").withColumnRenamed("component", "objId"), Seq("tail"), "left")
+      .withColumn("subjId", coalesce(col("subjId"), col("head")))
+      .withColumn("objId", coalesce(col("objId"), col("tail")))
+      .join(broadcast(names).withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
+      .join(broadcast(names).withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
+      .select(col("head"), col("rel"), col("tail"), col("subj"),
+        concat(lit("rel_"), col("rel")).as("pred"), col("obj"),
+        col("subjId"), col("objId"))
+  }
+
+  /** Bootstrap: the one-shot batch scorer over the full corpus (exact
+    * broadcast path — at the design point this is the regular LSH/IVF
+    * batch pipeline; the STATE SHAPE, not this scorer, is the point). */
+  def initial(spark: SparkSession, docs: Dataset[Doc], ents: Dataset[Entity],
+              cfg: IncrementalConfig): AlignState = {
+    import spark.implicits._
+    val entsP = cut(ents)
+    val idT = cut(Extraction.idTriples(spark, Extraction.rawTriples(spark, docs), entsP))
+    val rawE = cut(Embedder.embedEntities(spark, entsP, cfg.embed))
+    val weights = GatKernel.initWeights(cfg.embed.dim)
+    val allIds = entsP.collect().map(e => e.id -> e.kg).toMap
+    val encoded = cutDf(encodeIds(spark, allIds.keySet, allIds, idT, entsP, rawE, weights,
+      cfg.embed.dim))
+    encoded.count()
+
+    val corpusArr = encoded.filter(col("kg") === 2).select(col("id"), col("emb"))
+      .as[(Long, Array[Float])].collect().map { case (i, e) => Emb(i, e) }.sortBy(_.id)
+    val sampleIds = ScoredTopK.sampleIdsOf(corpusArr.map(_.id), cfg.sampleSize)
+    val sIdSet = sampleIds.toSet
+    val sample = corpusArr.filter(e => sIdSet.contains(e.id))
+    val bcCorpus = spark.sparkContext.broadcast(corpusArr)
+    val bcSample = spark.sparkContext.broadcast(sample)
+    // store top-k' (k' = 2k) with completeness — the maintenance slack
+    // that lets delta batches drop re-encoded dsts without re-scoring
+    val kPrime = 2 * cfg.topK; val tau = cfg.rsmThreshold
+    val corpusComplete = corpusArr.length <= kPrime
+    val topk = encoded.filter(col("kg") === 1).select(col("id"), col("emb"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val (ids, cs) = ScoredTopK.scoreAll(emb, bcCorpus.value, kPrime)
+        ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, corpusComplete)
+      }
+    val topkC = cut(topk)
+    topkC.count()
+
+    val accepted = cutDf(topkC.filter(_.acceptedDst >= 0L)
+      .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
+    val assignment = cutDf(ConnectedComponents.run(spark, accepted))
+    val canonical = cutDf(materialize(spark, idT, assignment, entsP))
+    canonical.count()
+    AlignState(entsP, idT, rawE, encoded, topkC, sampleIds, accepted, assignment,
+      canonical, weights)
+  }
+
+  /** One delta batch: new docs + new dictionary entries → the next
+    * committed state, with delta-sized update work (see class doc). */
+  def delta(spark: SparkSession, state: AlignState, docs2: Dataset[Doc],
+            ents2: Dataset[Entity], cfg: IncrementalConfig): AlignState = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dim = cfg.embed.dim; val k = cfg.topK; val kPrime = 2 * cfg.topK
+    val tau = cfg.rsmThreshold
+    val tStart = System.nanoTime()
+    def diag(msg: => String): Unit = if (cfg.diag)
+      System.err.println(f"[inc-delta ${(System.nanoTime() - tStart) / 1e9}%6.1f s] $msg")
+
+    // ---- delta extraction against the union dictionary ----
+    // append-mostly tables: cut only the DELTA piece and union lazily —
+    // re-checkpointing the union would copy the whole committed cache
+    // every batch (3 × O(corpus) writes measured as a large share of the
+    // delta wall). After B batches the plan is a width-B union of
+    // LogicalRDDs — shallow; a real deployment compacts into TableIO
+    // snapshots periodically.
+    val ents2C = cut(ents2.as[Entity])
+    val entsU = state.ents.unionByName(ents2C)
+    val rawE2 = cut(Embedder.embedEntities(spark, ents2C, cfg.embed))
+    val rawU = state.rawEmbs.unionByName(rawE2)
+    val deltaT = cut(Extraction.idTriples(spark, Extraction.rawTriples(spark, docs2), entsU))
+    val triplesU = state.idTriples.unionByName(deltaT)
+
+    // ---- touched set: delta entities + delta-triple endpoints ----
+    // (deltaT is delta-sized by contract: one collect, endpoints derived
+    // driver-side — every driver job costs whole seconds in this VM's
+    // degraded page-allocation windows, so delta() minimizes job count)
+    val deltaEnts = ents2.collect()
+    val newIds = deltaEnts.map(e => e.id -> e.kg).toMap
+    val deltaTArr = deltaT.collect()
+    val endpointIds = deltaTArr.iterator.flatMap(t => Iterator(t.head, t.tail)).toSet
+    val bcEndp = sc.broadcast(endpointIds -- newIds.keySet)
+    val endpKg = state.ents.filter(e => bcEndp.value.contains(e.id))
+      .map(e => (e.id, e.kg)).collect().toMap
+    val touched: Map[Long, Int] = newIds ++ endpKg
+    val touchedSet = touched.keySet
+    diag(s"touched=${touchedSet.size} (new=${newIds.size}, committed endpoints=${endpKg.size})")
+    val bcTouched = sc.broadcast(touchedSet)
+
+    // ---- re-encode touched entities over their FULL incident edge set
+    //      (committed incident triples fetched in one narrow scan) ----
+    val incident = state.idTriples
+      .filter(t => bcTouched.value.contains(t.head) || bcTouched.value.contains(t.tail))
+      .unionByName(deltaT)
+    val encodedT = encodeIds(spark, touchedSet, touched, incident, entsU, rawU,
+      state.weights, dim)
+    val encodedU0 = state.encoded.as[(Long, Int, Array[Float])]
+      .filter(r => !bcTouched.value.contains(r._1)).toDF("id", "kg", "emb")
+      .unionByName(encodedT)
+    val encodedUC = cutDf(encodedU0)
+    encodedUC.count()
+    diag("re-encode done")
+
+    // ---- calibration sample (exact order-statistics merge) + delta
+    //      corpus, fetched in ONE corpus pass ----
+    val deltaKg2Ids = deltaEnts.filter(_.kg == 2).map(_.id)
+    val sampleIdsU = ScoredTopK.mergeSampleIds(state.sampleIds, deltaKg2Ids, cfg.sampleSize)
+    // delta corpus = KG2 rows whose score against ANY query may change:
+    // new entities + re-encoded (touched) committed ones
+    val changedKg2 = touched.collect { case (id, kg) if kg == 2 => id }.toSet
+    val bcChangedKg2 = sc.broadcast(changedKg2)
+    val bcSampleIds = sc.broadcast(sampleIdsU.toSet)
+    val fetched = encodedUC.select(col("id"), col("kg"), col("emb"))
+      .as[(Long, Int, Array[Float])]
+      .filter(r => bcSampleIds.value.contains(r._1) ||
+        (r._2 == 2 && bcChangedKg2.value.contains(r._1)))
+      .collect()
+    val bcSample = sc.broadcast(
+      fetched.filter(r => bcSampleIds.value.contains(r._1))
+        .map { case (i, _, e) => Emb(i, e) }.sortBy(_.id))
+    val bcDeltaCorpus = sc.broadcast(
+      fetched.filter(r => r._2 == 2 && bcChangedKg2.value.contains(r._1))
+        .map { case (i, _, e) => Emb(i, e) }.sortBy(_.id))
+    val touchedKg1 = touched.collect { case (id, kg) if kg == 1 => id }.toSet
+    val bcTouchedKg1 = sc.broadcast(touchedKg1)
+    diag(s"delta corpus=${bcDeltaCorpus.value.length} (changed kg2=${changedKg2.size}), touched kg1=${touchedKg1.size}")
+
+    // phase A — map-only over the committed per-query state: drop
+    // re-encoded dsts from the slack list, merge the broadcast delta
+    // corpus in; a row re-scores only if its encoding is stale or the
+    // drops shrank the exact prefix below k (slack k' = 2k makes that
+    // rare — without it 59% of queries re-scored per batch here)
+    val deltaComplete = bcDeltaCorpus.value.length <= kPrime
+    val phaseA = state.topk.map { row =>
+      if (bcTouchedKg1.value.contains(row.srcId)) Maint(row, row.acceptedDst, rescore = true)
+      else {
+        val (kIds, kCos) = ScoredTopK.dropIds(row.dstIds, row.cos, bcChangedKg2.value.contains)
+        val (pIds, pCos) = ScoredTopK.scoreAll(row.emb, bcDeltaCorpus.value, kPrime)
+        val (ids, cs, comp) = ScoredTopK.mergeMaint(kIds, kCos, row.complete,
+          pIds, pCos, deltaComplete, kPrime)
+        if (ids.length < k && !comp) Maint(row, row.acceptedDst, rescore = true)
+        else Maint(ScoredTopK.finish(row.srcId, row.emb, ids, cs, bcSample.value, tau, comp),
+          row.acceptedDst, rescore = false)
+      }
+    }.persist(lvl)
+
+    // phase B — full re-score of the stale + brand-new queries in ONE
+    // broadcast-queries pass over the corpus (partial top-k per
+    // partition; disjoint-slice merge is exact)
+    val oldAccepted: Map[Long, Long] =
+      phaseA.filter(_.rescore).map(m => (m.q.srcId, m.oldAccepted)).collect().toMap
+    val newKg1 = newIds.collect { case (id, 1) => id }.toSet
+    val rescoreIds = oldAccepted.keySet ++ newKg1
+    diag(s"phase A done; rescore queries=${rescoreIds.size} (stale lists=${oldAccepted.size - oldAccepted.keySet.count(touchedKg1)}, stale encodings=${oldAccepted.keySet.count(touchedKg1)}, new=${newKg1.size})")
+    val bcRescoreIds = sc.broadcast(rescoreIds)
+    val rescoreQs = encodedUC.filter(col("kg") === 1).select(col("id"), col("emb"))
+      .as[(Long, Array[Float])].filter(r => bcRescoreIds.value.contains(r._1)).collect()
+    val bcQs = sc.broadcast(rescoreQs)
+    val bcOld = sc.broadcast(oldAccepted)
+    val rescored: Dataset[Maint] =
+      if (rescoreQs.isEmpty) spark.emptyDataset[Maint]
+      else encodedUC.filter(col("kg") === 2).select(col("id"), col("emb"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val qs = bcQs.value
+          val bufs = Array.fill(qs.length)(new ScoredTopK.TopKBuf(kPrime))
+          it.foreach { case (cid, cemb) =>
+            var i = 0
+            while (i < qs.length) { bufs(i).offer(cid, Embedder.dot(qs(i)._2, cemb)); i += 1 }
+          }
+          qs.indices.iterator.map(i => (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val (ids, cs) = ScoredTopK.merge(x._2, x._3, y._2, y._3, kPrime)
+          (x._1, ids, cs)
+        }
+        .map { case (srcId, (_, ids, cs)) =>
+          val emb = bcQs.value.find(_._1 == srcId).get._2
+          Maint(ScoredTopK.finish(srcId, emb, ids, cs, bcSample.value, tau,
+            complete = ids.length < kPrime),
+            bcOld.value.getOrElse(srcId, -1L), rescore = true)
+        }
+    val maintained = phaseA.filter(!_.rescore).unionByName(rescored).persist(lvl)
+    val topkU = cut(maintained.map(_.q))
+    topkU.count()
+    diag("phase B (rescore) done")
+
+    // ---- canonicalization maintenance on the accepted-edge diff ----
+    val edgeChanges = maintained
+      .map(m => (m.q.srcId, m.oldAccepted, m.q.acceptedDst))
+      .filter(c => c._2 != c._3).persist(lvl)
+    val added = edgeChanges.filter(_._3 >= 0L).map(c => (c._1, c._3)).toDF("a", "b")
+    val removed = edgeChanges.filter(_._2 >= 0L).map(c => (c._1, c._2)).toDF("a", "b")
+    val (assignmentU, changedNodes) = ConnectedComponents.maintainDetailed(
+      spark, state.assignment, state.accepted, added, removed)
+    val assignP = cutDf(assignmentU)
+    val acceptedU = cutDf(topkU.filter(_.acceptedDst >= 0L)
+      .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
+
+    // ---- canonical-triple maintenance: relabel only where a component
+    //      changed; materialize delta triples; keep everything else ----
+    val bcChangedNodes = sc.broadcast(
+      changedNodes.select(col("node")).as[Long].collect().toSet)
+    val chDf = broadcast(changedNodes.select(col("node")))
+    // neither endpoint changed → the committed row passes through
+    val keep = state.canonical
+      .join(chDf.withColumnRenamed("node", "head"), Seq("head"), "left_anti")
+      .join(chDf.withColumnRenamed("node", "tail"), Seq("tail"), "left_anti")
+    val relabel = state.idTriples
+      .filter(t => bcChangedNodes.value.contains(t.head) || bcChangedNodes.value.contains(t.tail))
+      .unionByName(deltaT)
+    diag(s"CC maintain done; changed nodes=${bcChangedNodes.value.size}")
+    val canonicalU = cutDf(keep.unionByName(materialize(spark, relabel, assignP, entsU))
+      .select(col("head"), col("rel"), col("tail"), col("subj"), col("pred"),
+        col("obj"), col("subjId"), col("objId")))
+    canonicalU.count()
+
+    diag("canonical maintenance done")
+    phaseA.unpersist(blocking = false)
+    maintained.unpersist(blocking = false)
+    edgeChanges.unpersist(blocking = false)
+    AlignState(entsU, triplesU, rawU, encodedUC, topkU, sampleIdsU, acceptedU,
+      assignP, canonicalU, state.weights)
+  }
+}

@@ -75,6 +75,28 @@ object KgQueries {
       .select(col("srcId"), col("dstId"), col("rank"), round(col("score"), 4).as("rsm_score"))
   }
 
+  /** Continuous-construction mode (IncrementalAlign): bootstrap a
+    * committed state from batch 1, then merge a delta batch with
+    * delta-sized maintenance work and emit the maintained canonical
+    * triples. Rows-only here; the binding gate is IncrementalSpec's
+    * bit-exact `delta(initial(b1), b2) == initial(b1 ∪ b2)` equality. */
+  def qKgIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val icfg = IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32), topK = 5)
+    val e1 = 30; val e = 40
+    val cfg1 = graft.ingest.SynthConfig(entitiesPerKg = e1)
+    val cfgU = graft.ingest.SynthConfig(entitiesPerKg = e)
+    def idx(docId: String): Long = docId.substring(docId.lastIndexOf('_') + 1).toLong
+    val s1 = IncrementalAlign.initial(spark,
+      graft.ingest.DocSynthesizer.docs(spark, cfg1),
+      graft.ingest.DocSynthesizer.entities(spark, cfg1), icfg)
+    val s2 = IncrementalAlign.delta(spark, s1,
+      graft.ingest.DocSynthesizer.docs(spark, cfgU).filter(d => idx(d.doc_id) >= e1),
+      graft.ingest.DocSynthesizer.entities(spark, cfgU)
+        .filter(en => (en.id % graft.ingest.DocSynthesizer.Kg2Base) >= e1), icfg)
+    s2.canonical.select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+  }
+
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -167,5 +189,6 @@ object KgQueries {
     "q_ivf_candidates" -> (qIvfCandidates _),
     "q_kg_neighbor_blocks" -> (qKgNeighborBlocks _),
     "q_kg_ssl_alignment" -> (qKgSslAlignment _),
+    "q_kg_incremental" -> (qKgIncremental _),
     "q_media_features" -> (qMediaFeatures _))
 }

@@ -134,7 +134,8 @@ object ConnectedComponents {
     * delta comparable to the corpus should just re-[[run]].
     */
   def incremental(spark: SparkSession, priorAssign: DataFrame,
-                  newEdges0: DataFrame, maxIter: Int = 20): DataFrame = {
+                  newEdges0: DataFrame, maxIter: Int = 20,
+                  driverCap: Int = 2000000): DataFrame = {
     val prior = priorAssign
       .select(col("node").cast("long"), col("component").cast("long"))
     val newEdges = newEdges0
@@ -151,11 +152,52 @@ object ConnectedComponents {
     val starEdges = prior.join(touchedComps, "component")
       .filter(col("node") =!= col("component"))
       .select(col("node").as("a"), col("component").as("b"))
-    val merged = run(spark, starEdges.unionByName(newEdges), maxIter)
+    val merged = runSmall(spark, starEdges.unionByName(newEdges), maxIter, driverCap)
     // USING-join moves the join column first — re-fix (node, component)
     prior.join(touchedComps, Seq("component"), "left_anti")
       .select(col("node"), col("component"))
       .unionByName(merged)
+  }
+
+  /** Min-label connected components of a small edge array — the driver
+    * fast path of [[incremental]]/[[maintain]]. Union-find with
+    * union-by-min-id (the root IS the component label) + path
+    * compression. Exact twin of [[run]]'s output on the same edges. */
+  private[canon] def localCC(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Long]
+    edges.foreach { case (a, b) => if (a != b) { nodes(a) = 0L; nodes(b) = 0L } }
+    nodes.keys.iterator.map(n => (n, find(n))).toArray
+  }
+
+  /** CC of an edge set KNOWN to be delta-sized (the incremental rebuild
+    * sets): collect up to `driverCap` edges and solve with a driver
+    * union-find — ZERO distributed jobs per star round, which is the
+    * measured cost of small rebuilds (the star loop's per-round shuffles
+    * are pure scheduling latency on delta-sized data). Larger sets fall
+    * back to the distributed loop. */
+  private def runSmall(spark: SparkSession, edges: DataFrame, maxIter: Int,
+                       driverCap: Int): DataFrame = {
+    import spark.implicits._
+    val normed = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+    val local = normed.limit(driverCap + 1).as[(Long, Long)].collect()
+    if (local.length > driverCap) run(spark, edges, maxIter)
+    else if (local.isEmpty) spark.emptyDataset[(Long, Long)].toDF("node", "component")
+    else spark.createDataFrame(localCC(local).toSeq).toDF("node", "component")
   }
 
   private def norm(edges: DataFrame): DataFrame =
@@ -185,7 +227,19 @@ object ConnectedComponents {
     * edgeless by the removals. Edge identity is undirected: (a,b) and
     * (b,a) are the same edge on every input. */
   def maintain(spark: SparkSession, priorAssign: DataFrame, edgesTable: DataFrame,
-               added0: DataFrame, removed0: DataFrame, maxIter: Int = 20): DataFrame = {
+               added0: DataFrame, removed0: DataFrame, maxIter: Int = 20,
+               driverCap: Int = 2000000): DataFrame =
+    maintainDetailed(spark, priorAssign, edgesTable, added0, removed0, maxIter, driverCap)._1
+
+  /** [[maintain]] plus the CHANGE SET: (new assignment, the (node,
+    * component) rows whose label differs from the prior assignment —
+    * including brand-new nodes). The change set is what downstream
+    * maintenance needs (relabel only the canonical triples touching a
+    * changed node) and is bounded by the touched components' member
+    * count, so the caller never diffs two corpus-sized assignments. */
+  def maintainDetailed(spark: SparkSession, priorAssign: DataFrame, edgesTable: DataFrame,
+                       added0: DataFrame, removed0: DataFrame,
+                       maxIter: Int = 20, driverCap: Int = 2000000): (DataFrame, DataFrame) = {
     val prior = priorAssign
       .select(col("node").cast("long"), col("component").cast("long"))
     val committed = norm(edgesTable)
@@ -204,15 +258,23 @@ object ConnectedComponents {
       .unionByName(endpoints).distinct()
     val rebuildEdges = newEdges.join(broadcast(members),
       newEdges("a") === members("node"), "left_semi")
-    val rebuilt = run(spark, rebuildEdges, maxIter)
+    val rebuilt = runSmall(spark, rebuildEdges, maxIter, driverCap)
     // PRIOR members left edgeless by removals still exist — as singletons
     // (endpoints seen only in no-op removals never existed and stay out;
     // added endpoints always carry their added edge into the rebuild)
     val isolated = prior.join(touchedComps, "component").select("node")
       .join(rebuilt.select(col("node")), Seq("node"), "left_anti")
       .withColumn("component", col("node"))
-    prior.join(touchedComps, Seq("component"), "left_anti")
+    val assignment = prior.join(touchedComps, Seq("component"), "left_anti")
       .select(col("node"), col("component"))
       .unionByName(rebuilt).unionByName(isolated)
+    // only rebuilt/isolated rows can differ from prior; new nodes have
+    // no prior row (left join null) and always count as changed
+    val touchedRows = rebuilt.unionByName(isolated)
+    val changed = touchedRows
+      .join(prior.withColumnRenamed("component", "prior_component"), Seq("node"), "left")
+      .filter(col("prior_component").isNull || col("prior_component") =!= col("component"))
+      .select(col("node"), col("component"))
+    (assignment, changed)
   }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import graft.candidates.ScoredTopK
+import graft.embed.{Embedder, EmbedderConfig}
+import graft.ingest.{DocSynthesizer, SynthConfig}
+import graft.kg._
+import graft.util.DetHash
+
+/** Continuous-construction gates: the ScoredTopK merge/calibration laws
+  * and the IncrementalAlign exactness contract
+  * `delta(initial(b1), b2) == initial(b1 ∪ b2)`. */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randEmb(i: Long, dim: Int): Array[Float] = {
+    val v = Array.tabulate(dim)(j => (DetHash.toUnit(DetHash.h2(7L, i, j)) - 0.5).toFloat)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  // ---------- ScoredTopK kernel laws ----------
+
+  test("ScoredTopK: disjoint-slice merge equals direct top-k of the union (property)") {
+    val dim = 16; val k = 5
+    val q = randEmb(999L, dim)
+    val slice1 = Array.tabulate(40)(i => Emb(i.toLong, randEmb(i.toLong, dim)))
+    val slice2 = Array.tabulate(35)(i => Emb(1000L + i, randEmb(1000L + i, dim)))
+    val (i1, c1) = ScoredTopK.scoreAll(q, slice1, k)
+    val (i2, c2) = ScoredTopK.scoreAll(q, slice2, k)
+    val (im, cm) = ScoredTopK.merge(i1, c1, i2, c2, k)
+    val (iu, cu) = ScoredTopK.scoreAll(q, slice1 ++ slice2, k)
+    assert(im.toSeq == iu.toSeq)
+    assert(cm.toSeq == cu.toSeq) // bit-exact: same dots either way
+  }
+
+  test("ScoredTopK: merge breaks cosine ties by ascending id") {
+    val ids1 = Array(10L); val cs1 = Array(0.5)
+    val ids2 = Array(3L); val cs2 = Array(0.5)
+    val (im, _) = ScoredTopK.merge(ids1, cs1, ids2, cs2, 2)
+    assert(im.toSeq == Seq(3L, 10L))
+  }
+
+  test("ScoredTopK: sample order statistics merge exactly") {
+    val all = (0L until 500L).toArray
+    val (committed, delta) = all.partition(_ % 3 != 0)
+    val s = 64
+    val m = ScoredTopK.mergeSampleIds(ScoredTopK.sampleIdsOf(committed, s), delta, s)
+    assert(m.toSeq == ScoredTopK.sampleIdsOf(all, s).toSeq)
+  }
+
+  test("ScoredTopK: calibration is a pure function of the ascending-id sample set") {
+    val dim = 16
+    val q = randEmb(5L, dim)
+    val sample = Array.tabulate(50)(i => Emb(i.toLong, randEmb(100L + i, dim)))
+    val (mu1, s1) = ScoredTopK.calib(q, sample)
+    val (mu2, s2) = ScoredTopK.calib(q, sample.clone())
+    assert(mu1 == mu2 && s1 == s2)
+    // and matches a direct Welford loop
+    var mu = 0.0; var m2 = 0.0; var n = 0L
+    sample.foreach { e =>
+      val s = Embedder.dot(q, e.emb); n += 1; val d = s - mu; mu += d / n; m2 += d * (s - mu)
+    }
+    assert(mu1 == mu && s1 == math.sqrt(m2 / (n - 1)))
+  }
+
+  test("ScoredTopK: drop + slack merge reproduces a direct re-score (property)") {
+    // simulate a corpus-side re-encode: slice loses `gone` rows (their
+    // encodings changed), the delta brings their NEW encodings + new rows
+    val dim = 16; val k = 4; val kPrime = 8
+    val slice = Array.tabulate(60)(i => Emb(i.toLong, randEmb(i.toLong, dim)))
+    val gone = Set(3L, 17L, 40L)
+    val reenc = gone.toArray.sorted.map(i => Emb(i, randEmb(5000L + i, dim)))
+    val newRows = Array.tabulate(10)(i => Emb(2000L + i, randEmb(2000L + i, dim)))
+    val deltaCorpus = (reenc ++ newRows).sortBy(_.id)
+    for (qi <- 0 until 20) {
+      val q = randEmb(9000L + qi, dim)
+      val (sIds, sCos) = ScoredTopK.scoreAll(q, slice, kPrime)
+      val (kIds, kCos) = ScoredTopK.dropIds(sIds, sCos, gone.contains)
+      val (dIds, dCos) = ScoredTopK.scoreAll(q, deltaCorpus, kPrime)
+      val (mIds, mCos, _) = ScoredTopK.mergeMaint(kIds, kCos, completeA = false,
+        dIds, dCos, deltaCorpus.length <= kPrime, kPrime)
+      val union = slice.filterNot(e => gone.contains(e.id)) ++ deltaCorpus
+      val (uIds, uCos) = ScoredTopK.scoreAll(q, union, kPrime)
+      if (mIds.length >= k) { // the exact-prefix guarantee
+        assert(mIds.take(k).toSeq == uIds.take(k).toSeq, s"query $qi")
+        assert(mCos.take(k).toSeq == uCos.take(k).toSeq, s"query $qi")
+        // and the whole surviving prefix is exact
+        assert(mIds.toSeq == uIds.take(mIds.length).toSeq, s"query $qi")
+      }
+    }
+  }
+
+  test("ScoredTopK: truncated list exhausting mid-merge ends the exact prefix") {
+    // A holds top-2 of a truncated slice; B is complete. Once A runs out,
+    // nothing below its floor may be claimed exact.
+    val (ids, cs, comp) = ScoredTopK.mergeMaint(
+      Array(1L, 2L), Array(0.9, 0.8), completeA = false,
+      Array(10L, 11L), Array(0.85, 0.1), completeB = true, kPrime = 8)
+    assert(ids.toSeq == Seq(1L, 10L, 2L)) // stops when truncated A exhausts
+    assert(!comp)
+    assert(cs.toSeq == Seq(0.9, 0.85, 0.8))
+  }
+
+  // ---------- IncrementalAlign end-to-end exactness ----------
+
+  /** batch-closed fixture: batch 1 = docs/entities of indices [0, e1)
+    * generated with entitiesPerKg = e1 (edge targets stay inside the
+    * batch — committed docs mention only committed names), batch 2 =
+    * indices [e1, e) generated with entitiesPerKg = e (delta docs may
+    * mention committed entities — the natural ingest shape). Names are a
+    * pure function of (seed, index), so the two generators agree on
+    * shared indices. */
+  private def splitFixture(e1: Int, e: Int, noise: Double = 0.15):
+      ((Dataset[Doc], Dataset[Entity]), (Dataset[Doc], Dataset[Entity])) = {
+    val cfg1 = SynthConfig(entitiesPerKg = e1, surfaceNoise = noise)
+    val cfgU = SynthConfig(entitiesPerKg = e, surfaceNoise = noise)
+    val docs1 = DocSynthesizer.docs(spark, cfg1)
+    val ents1 = DocSynthesizer.entities(spark, cfg1)
+    def idx(docId: String): Long = docId.substring(docId.lastIndexOf('_') + 1).toLong
+    val docs2 = DocSynthesizer.docs(spark, cfgU).filter(d => idx(d.doc_id) >= e1)
+    val ents2 = DocSynthesizer.entities(spark, cfgU)
+      .filter(en => (en.id % DocSynthesizer.Kg2Base) >= e1)
+    ((docs1, ents1), (docs2, ents2))
+  }
+
+  private val icfg = IncrementalConfig(embed = EmbedderConfig(dim = 32), topK = 5)
+
+  /** the exact output surface: top-k prefix + moments + acceptance (the
+    * stored tail beyond k is maintenance slack and may legitimately be
+    * shorter on the incremental path; `complete` is bookkeeping) */
+  private def topkMap(s: AlignState): Map[Long, (Seq[Long], Seq[Double], Double, Double, Long)] =
+    s.topk.collect().map(q =>
+      q.srcId -> ((q.dstIds.take(icfg.topK).toSeq, q.cos.take(icfg.topK).toSeq,
+        q.mu, q.sigma, q.acceptedDst))).toMap
+
+  private def acceptedSet(s: AlignState): Set[(Long, Long)] =
+    s.accepted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** assignment as a function: identity rows are equivalent to absence */
+  private def effectiveAssign(s: AlignState): Map[Long, Long] =
+    s.assignment.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(x => x._1 != x._2).toMap
+
+  private def canonBag(s: AlignState): Map[Seq[Any], Int] =
+    s.canonical.collect().map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+
+  test("incremental delta equals the from-scratch batch run, bit-exact") {
+    val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val inc = IncrementalAlign.delta(spark, s1, d2, e2, icfg)
+    val full = IncrementalAlign.initial(spark, d1.unionByName(d2),
+      e1.unionByName(e2), icfg)
+
+    assert(inc.sampleIds.toSeq == full.sampleIds.toSeq)
+    val ti = topkMap(inc); val tf = topkMap(full)
+    assert(ti.keySet == tf.keySet)
+    // bit-exact per query: ids, cosines, RSM moments, acceptance
+    ti.keySet.foreach { id => assert(ti(id) == tf(id), s"query $id") }
+    assert(acceptedSet(inc) == acceptedSet(full))
+    assert(effectiveAssign(inc) == effectiveAssign(full))
+    assert(canonBag(inc) == canonBag(full))
+    // the delta genuinely exercised the interesting paths
+    assert(acceptedSet(s1).nonEmpty, "committed batch accepted no edges")
+    assert(inc.topk.count() > s1.topk.count(), "no new queries arrived")
+  }
+
+  test("incremental deltas compose: two batches equal one from-scratch run") {
+    val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
+    val ((_, _), (d3, e3)) = splitFixture(40, 55)
+    // regenerate the middle batch against the FINAL config so indices
+    // [25,40) close over [0,40) and [40,55) over [0,55)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val s2 = IncrementalAlign.delta(spark, s1, d2mid, e2mid, icfg)
+    val s3 = IncrementalAlign.delta(spark, s2, d3, e3, icfg)
+    val full = IncrementalAlign.initial(spark,
+      d1.unionByName(d2mid).unionByName(d3),
+      e1.unionByName(e2mid).unionByName(e3), icfg)
+    assert(topkMap(s3) == topkMap(full))
+    assert(acceptedSet(s3) == acceptedSet(full))
+    assert(effectiveAssign(s3) == effectiveAssign(full))
+    assert(canonBag(s3) == canonBag(full))
+  }
+}

@@ -308,6 +308,9 @@ class OperatorSpec extends SparkTestBase {
     val got = ccAsMap(ConnectedComponents.incremental(spark, prior, e2))
     val full = ccAsMap(ConnectedComponents.run(spark, e1.unionByName(e2)))
     assert(got == full)
+    // driverCap=0 forces the distributed star-loop rebuild — same answer
+    val gotDist = ccAsMap(ConnectedComponents.incremental(spark, prior, e2, driverCap = 0))
+    assert(gotDist == full)
   }
 
   test("incremental CC composes: two deltas == one full run") {
@@ -383,6 +386,10 @@ class OperatorSpec extends SparkTestBase {
     val got = ccAsMap(ConnectedComponents.maintain(spark, prior, e.toDF("a", "b"),
       add.toDF("a", "b"), rem.toDF("a", "b")))
     assert(got == maintainSpec(e, add, rem, priorNodes))
+    // distributed-rebuild path (driverCap=0) must agree
+    val gotDist = ccAsMap(ConnectedComponents.maintain(spark, prior, e.toDF("a", "b"),
+      add.toDF("a", "b"), rem.toDF("a", "b"), driverCap = 0))
+    assert(gotDist == maintainSpec(e, add, rem, priorNodes))
   }
 
   test("connected components: 10^5-degree hub converges without array rows") {
