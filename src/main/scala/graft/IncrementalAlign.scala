@@ -11,6 +11,7 @@ import graft.canon.ConnectedComponents
 import graft.embed.{Embedder, EmbedderConfig}
 import graft.extract.Extraction
 import graft.graph.NeighborAgg
+import graft.tableio.TableIO
 
 /** CONTINUOUS KG construction — the operating mode the 10^12-doc design
   * point actually runs in: a committed alignment state plus an arriving
@@ -391,5 +392,75 @@ object IncrementalAlign {
     edgeChanges.unpersist(blocking = false)
     AlignState(entsU, triplesU, rawU, encodedUC, topkU, sampleIdsU, acceptedU,
       assignP, canonicalU, state.weights)
+  }
+
+  // ---------- durable state: TableIO commit / resume ----------
+  // The continuous mode must survive sessions (north rule: resumable from
+  // checkpoint with per-partition lineage): every state component commits
+  // as a TableIO snapshot table — atomic manifests, per-partition row
+  // lineage, append-only metrics, time travel — and a later session
+  // resumes with load() and keeps ingesting deltas. Floats/doubles
+  // round-trip parquet bit-exactly, so a resumed state is
+  // indistinguishable from the in-memory one (gated in IncrementalSpec).
+
+  /** Commit every state component under `dir` (one TableIO table each;
+    * canonical partitioned by subjId bucket like the batch pipeline). */
+  def save(spark: SparkSession, state: AlignState, dir: String): Unit = {
+    import spark.implicits._
+    TableIO.commit(spark, state.ents.toDF(), s"$dir/ents", "state")
+    TableIO.commit(spark, state.idTriples.toDF(), s"$dir/id_triples", "state")
+    TableIO.commit(spark, state.rawEmbs.toDF(), s"$dir/raw_embs", "state")
+    TableIO.commit(spark, state.encoded, s"$dir/encoded", "state")
+    TableIO.commit(spark, state.topk.toDF(), s"$dir/topk", "state")
+    TableIO.commit(spark, state.accepted, s"$dir/accepted", "state")
+    TableIO.commit(spark, state.assignment, s"$dir/assignment", "state")
+    TableIO.commit(spark,
+      state.canonical.withColumn("bucket", pmod(col("subjId"), lit(16))),
+      s"$dir/canonical", "state",
+      inputs = Seq(s"$dir/id_triples", s"$dir/assignment"),
+      partitionCols = Seq("bucket"))
+    val w = state.weights
+    val meta =
+      w.attnSrc.iterator.zipWithIndex.map { case (v, i) => ("attnSrc", i.toLong, v.toDouble) } ++
+      w.attnDst.iterator.zipWithIndex.map { case (v, i) => ("attnDst", i.toLong, v.toDouble) } ++
+      Option(w.combine).iterator.flatMap(_.iterator.zipWithIndex
+        .map { case (v, i) => ("combine", i.toLong, v.toDouble) }) ++
+      Iterator(("alpha", 0L, w.alpha.toDouble),
+        ("centerNorm", 0L, if (w.centerNorm) 1.0 else 0.0),
+        ("neighborNorm", 0L, if (w.neighborNorm) 1.0 else 0.0))
+    TableIO.commit(spark, meta.toSeq.toDF("kind", "idx", "value"), s"$dir/meta", "state")
+    TableIO.commit(spark,
+      state.sampleIds.zipWithIndex.map { case (id, i) => (i.toLong, id) }.toSeq
+        .toDF("idx", "id"), s"$dir/sample", "state")
+  }
+
+  /** Resume the committed state from `dir` (latest snapshots). */
+  def load(spark: SparkSession, dir: String): AlignState = {
+    import spark.implicits._
+    val meta = TableIO.read(spark, s"$dir/meta")
+      .as[(String, Long, Double)].collect()
+    def arr(kind: String): Array[Float] = {
+      val a = meta.filter(_._1 == kind).sortBy(_._2).map(_._3.toFloat)
+      if (a.isEmpty) null else a
+    }
+    def scalar(kind: String): Double = meta.find(_._1 == kind).get._3
+    val weights = GatWeights(arr("attnSrc"), arr("attnDst"), scalar("alpha").toFloat,
+      combine = arr("combine"),
+      centerNorm = scalar("centerNorm") != 0.0, neighborNorm = scalar("neighborNorm") != 0.0)
+    val sampleIds = TableIO.read(spark, s"$dir/sample")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    AlignState(
+      ents = cut(TableIO.read(spark, s"$dir/ents").as[Entity]),
+      idTriples = cut(TableIO.read(spark, s"$dir/id_triples").as[Triple]),
+      rawEmbs = cut(TableIO.read(spark, s"$dir/raw_embs").as[Emb]),
+      encoded = cutDf(TableIO.read(spark, s"$dir/encoded")),
+      topk = cut(TableIO.read(spark, s"$dir/topk").as[ScoredQuery]),
+      sampleIds = sampleIds,
+      accepted = cutDf(TableIO.read(spark, s"$dir/accepted")),
+      assignment = cutDf(TableIO.read(spark, s"$dir/assignment")),
+      canonical = cutDf(TableIO.read(spark, s"$dir/canonical")
+        .select(col("head"), col("rel"), col("tail"), col("subj"), col("pred"),
+          col("obj"), col("subjId"), col("objId"))),
+      weights = weights)
   }
 }

@@ -165,6 +165,28 @@ class IncrementalSpec extends SparkTestBase {
     assert(inc.topk.count() > s1.topk.count(), "no new queries arrived")
   }
 
+  test("committed state survives save/load and keeps ingesting deltas bit-exactly") {
+    val ((d1, e1), (d2, e2)) = splitFixture(35, 50)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val dir = java.nio.file.Files.createTempDirectory("align-state").toString
+    IncrementalAlign.save(spark, s1, dir)
+    val resumed = IncrementalAlign.load(spark, dir)
+    // round-trip is bit-exact (parquet preserves float/double bits)
+    assert(topkMap(resumed) == topkMap(s1))
+    assert(resumed.sampleIds.toSeq == s1.sampleIds.toSeq)
+    assert(canonBag(resumed) == canonBag(s1))
+    assert(resumed.weights == s1.weights.copy(
+      attnSrc = resumed.weights.attnSrc, attnDst = resumed.weights.attnDst,
+      combine = resumed.weights.combine))
+    assert(resumed.weights.attnSrc.toSeq == s1.weights.attnSrc.toSeq)
+    // a delta over the RESUMED state equals the delta over the live one
+    val viaResume = IncrementalAlign.delta(spark, resumed, d2, e2, icfg)
+    val viaLive = IncrementalAlign.delta(spark, s1, d2, e2, icfg)
+    assert(topkMap(viaResume) == topkMap(viaLive))
+    assert(acceptedSet(viaResume) == acceptedSet(viaLive))
+    assert(canonBag(viaResume) == canonBag(viaLive))
+  }
+
   test("incremental deltas compose: two batches equal one from-scratch run") {
     val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
     val ((_, _), (d3, e3)) = splitFixture(40, 55)
