@@ -187,6 +187,42 @@ class IncrementalSpec extends SparkTestBase {
     assert(canonBag(viaResume) == canonBag(viaLive))
   }
 
+  test("streaming micro-batch ingestion equals the from-scratch batch run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ((d1, e1), (d2, e2)) = splitFixture(25, 40)
+    val ((_, _), (d3, e3)) = splitFixture(40, 55)
+    val s0 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val cfg55 = SynthConfig(entitiesPerKg = 55)
+    // dictionary entries arriving with a batch: derived from its doc ids
+    // (names are a pure function of the index — generator-config-free)
+    def entsFor(docs: Dataset[Doc]): Dataset[Entity] = {
+      val idxs = docs.collect().map(d =>
+        d.doc_id.substring(d.doc_id.lastIndexOf('_') + 1).toLong).toSet
+      DocSynthesizer.entities(spark, cfg55)
+        .filter(en => idxs.contains(en.id % DocSynthesizer.Kg2Base))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("stream-kg").toString
+    val source = MemoryStream[Doc]
+    val (writer, handle) = graft.streaming.StreamingKg.writer(
+      source.toDS(), entsFor, s0, icfg, stateDir = Some(stateDir), commitEvery = 2)
+    val q = writer.start()
+    try {
+      source.addData(d2.collect().toSeq: _*); q.processAllAvailable()
+      source.addData(d3.collect().toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val full = IncrementalAlign.initial(spark,
+      d1.unionByName(d2).unionByName(d3),
+      e1.unionByName(e2).unionByName(e3), icfg)
+    assert(topkMap(handle.state) == topkMap(full))
+    assert(acceptedSet(handle.state) == acceptedSet(full))
+    assert(canonBag(handle.state) == canonBag(full))
+    // commitEvery=2 → the 2nd batch committed the state durably
+    val resumed = IncrementalAlign.load(spark, stateDir)
+    assert(topkMap(resumed) == topkMap(full))
+    assert(canonBag(resumed) == canonBag(full))
+  }
+
   test("incremental deltas compose: two batches equal one from-scratch run") {
     val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
     val ((_, _), (d3, e3)) = splitFixture(40, 55)
