@@ -75,7 +75,9 @@ final case class IncrementalConfig(
   * lineage columns so maintenance can relabel narrowly. */
 final case class AlignState(
     ents: Dataset[Entity],
-    idTriples: Dataset[Triple],
+    /** committed triples WITH per-row document provenance — the lineage
+      * that makes [[IncrementalAlign.retract]] a broadcast filter */
+    idTriples: Dataset[DocTriple],
     rawEmbs: Dataset[Emb],
     /** (id, kg, emb) — current (GAT-encoded or raw-fallback) encodings */
     encoded: DataFrame,
@@ -85,7 +87,8 @@ final case class AlignState(
     /** accepted alignment edges (a = KG1 query, b = KG2 target) */
     accepted: DataFrame,
     assignment: DataFrame,
-    /** (head, rel, tail, subj, pred, obj, subjId, objId) */
+    /** (docId, head, rel, tail, subj, pred, obj, subjId, objId) —
+      * doc provenance retained per canonical row */
     canonical: DataFrame,
     weights: GatWeights)
 
@@ -118,11 +121,13 @@ object IncrementalAlign {
   /** blocks for the given triples; centers restricted to `centers` when
     * given (the touched set) — identical per-center rows to a full run
     * because a center's complete incident edge set is present */
-  private def blocksFor(spark: SparkSession, triples: Dataset[Triple], ents: Dataset[Entity],
+  private def blocksFor(spark: SparkSession, triples: Dataset[DocTriple], ents: Dataset[Entity],
                         rawEmbs: Dataset[Emb], dim: Int,
                         centers: Option[Set[Long]]): Dataset[NeighborBlock] = {
     import spark.implicits._
-    val withSeq = triples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
+    // seq stays a pure function of triple CONTENT (not provenance): the
+    // first-seen neighbor order is invariant under retract/re-add
+    val withSeq = triples.map(dt => (dt.triple, (dt.head << 20) ^ dt.tail ^ (dt.rel << 40)))
     val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
     val ordered0 = NeighborAgg.orderedNeighbors(spark, edges, ents)
     val ordered = centers match {
@@ -138,7 +143,7 @@ object IncrementalAlign {
     * fallback for blockless entities (the batch pipeline's encodedAll
     * discipline) → (id, kg, emb) */
   private def encodeIds(spark: SparkSession, ids: Set[Long], kgOf: Map[Long, Int],
-                        triples: Dataset[Triple], ents: Dataset[Entity],
+                        triples: Dataset[DocTriple], ents: Dataset[Entity],
                         rawEmbs: Dataset[Emb], weights: GatWeights,
                         dim: Int): DataFrame = {
     import spark.implicits._
@@ -155,7 +160,7 @@ object IncrementalAlign {
 
   /** canonical materialization with (head, rel, tail) lineage retained —
     * the batch pipeline's stage 6 over an arbitrary triple subset */
-  private def materialize(spark: SparkSession, triples: Dataset[Triple],
+  private def materialize(spark: SparkSession, triples: Dataset[DocTriple],
                           assignment: DataFrame, ents: Dataset[Entity]): DataFrame = {
     val canonMap = assignment.select(col("node"), col("component"))
     val names = ents.toDF().select(col("id"), col("name"))
@@ -166,10 +171,13 @@ object IncrementalAlign {
       .withColumn("objId", coalesce(col("objId"), col("tail")))
       .join(broadcast(names).withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
       .join(broadcast(names).withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
-      .select(col("head"), col("rel"), col("tail"), col("subj"),
+      .select(col("docId"), col("head"), col("rel"), col("tail"), col("subj"),
         concat(lit("rel_"), col("rel")).as("pred"), col("obj"),
         col("subjId"), col("objId"))
   }
+
+  private val CanonCols = Seq("docId", "head", "rel", "tail", "subj", "pred",
+    "obj", "subjId", "objId")
 
   /** Bootstrap: the one-shot batch scorer over the full corpus (exact
     * broadcast path — at the design point this is the regular LSH/IVF
@@ -178,7 +186,7 @@ object IncrementalAlign {
               cfg: IncrementalConfig): AlignState = {
     import spark.implicits._
     val entsP = cut(ents)
-    val idT = cut(Extraction.idTriples(spark, Extraction.rawTriples(spark, docs), entsP))
+    val idT = cut(Extraction.idTriplesP(spark, Extraction.rawTriples(spark, docs), entsP))
     val rawE = cut(Embedder.embedEntities(spark, entsP, cfg.embed))
     val weights = GatKernel.initWeights(cfg.embed.dim)
     val allIds = entsP.collect().map(e => e.id -> e.kg).toMap
@@ -221,8 +229,6 @@ object IncrementalAlign {
             ents2: Dataset[Entity], cfg: IncrementalConfig): AlignState = {
     import spark.implicits._
     val sc = spark.sparkContext
-    val dim = cfg.embed.dim; val k = cfg.topK; val kPrime = 2 * cfg.topK
-    val tau = cfg.rsmThreshold
     val tStart = System.nanoTime()
     def diag(msg: => String): Unit = if (cfg.diag)
       System.err.println(f"[inc-delta ${(System.nanoTime() - tStart) / 1e9}%6.1f s] $msg")
@@ -238,7 +244,7 @@ object IncrementalAlign {
     val entsU = state.ents.unionByName(ents2C)
     val rawE2 = cut(Embedder.embedEntities(spark, ents2C, cfg.embed))
     val rawU = state.rawEmbs.unionByName(rawE2)
-    val deltaT = cut(Extraction.idTriples(spark, Extraction.rawTriples(spark, docs2), entsU))
+    val deltaT = cut(Extraction.idTriplesP(spark, Extraction.rawTriples(spark, docs2), entsU))
     val triplesU = state.idTriples.unionByName(deltaT)
 
     // ---- touched set: delta entities + delta-triple endpoints ----
@@ -253,15 +259,75 @@ object IncrementalAlign {
     val endpKg = state.ents.filter(e => bcEndp.value.contains(e.id))
       .map(e => (e.id, e.kg)).collect().toMap
     val touched: Map[Long, Int] = newIds ++ endpKg
+    diag(s"touched=${touched.size} (new=${newIds.size}, committed endpoints=${endpKg.size})")
+
+    refresh(spark, state, entsU, rawU, triplesU, touched,
+      newKg1 = newIds.collect { case (id, 1) => id }.toSet,
+      deltaKg2Ids = deltaEnts.filter(_.kg == 2).map(_.id),
+      newDocIds = deltaTArr.iterator.map(_.docId).toSet,
+      droppedDocIds = Set.empty, cfg, tStart)
+  }
+
+  /** Retract committed documents (takedown/GDPR path): drop their triples
+    * by the per-row docId lineage, re-encode the orphaned endpoints over
+    * their shrunken neighborhoods, and repair candidate lists /
+    * canonicalization / canonical triples — the SAME delta-sized
+    * maintenance as [[delta]] with an empty additions set. The entity
+    * DICTIONARY is not retracted (entries apply prospectively), so
+    * `retract(delta(initial(d1, e1), d2, e2), docIds(d2)) ==
+    * initial(d1, e1 ∪ e2)` bit-exactly (gated by IncrementalSpec). */
+  def retract(spark: SparkSession, state: AlignState, docIds: Set[String],
+              cfg: IncrementalConfig): AlignState = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val tStart = System.nanoTime()
+    def diag(msg: => String): Unit = if (cfg.diag)
+      System.err.println(f"[inc-retract ${(System.nanoTime() - tStart) / 1e9}%6.1f s] $msg")
+
+    val bcDocs = sc.broadcast(docIds)
+    // the retracted rows are delta-sized; the survivor table is one
+    // narrow map-only scan over the committed triples
+    val goneArr = state.idTriples.filter(t => bcDocs.value.contains(t.docId)).collect()
+    val remaining = cut(state.idTriples.filter(t => !bcDocs.value.contains(t.docId)))
+    val endpointIds = goneArr.iterator.flatMap(t => Iterator(t.head, t.tail)).toSet
+    val bcEndp = sc.broadcast(endpointIds)
+    val touched = state.ents.filter(e => bcEndp.value.contains(e.id))
+      .map(e => (e.id, e.kg)).collect().toMap
+    diag(s"retract docs=${docIds.size}: gone triples=${goneArr.length}, touched=${touched.size}")
+
+    refresh(spark, state, state.ents, state.rawEmbs, remaining, touched,
+      newKg1 = Set.empty, deltaKg2Ids = Array.empty,
+      newDocIds = Set.empty, droppedDocIds = docIds, cfg, tStart)
+  }
+
+  /** Shared maintenance core: given the UPDATED committed tables
+    * (dictionary, raw embeddings, triples) and the touched entity set,
+    * refresh encodings, per-query candidate state, canonicalization and
+    * the canonical table with delta-sized work. `newDocIds` marks triples
+    * that must materialize regardless of component changes (delta
+    * ingest); `droppedDocIds` marks committed canonical rows to drop
+    * (retraction). */
+  private def refresh(spark: SparkSession, state: AlignState,
+                      entsU: Dataset[Entity], rawU: Dataset[Emb],
+                      triplesU: Dataset[DocTriple],
+                      touched: Map[Long, Int], newKg1: Set[Long],
+                      deltaKg2Ids: Array[Long],
+                      newDocIds: Set[String], droppedDocIds: Set[String],
+                      cfg: IncrementalConfig, tStart: Long): AlignState = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dim = cfg.embed.dim; val k = cfg.topK; val kPrime = 2 * cfg.topK
+    val tau = cfg.rsmThreshold
+    def diag(msg: => String): Unit = if (cfg.diag)
+      System.err.println(f"[inc-refresh ${(System.nanoTime() - tStart) / 1e9}%6.1f s] $msg")
+
     val touchedSet = touched.keySet
-    diag(s"touched=${touchedSet.size} (new=${newIds.size}, committed endpoints=${endpKg.size})")
     val bcTouched = sc.broadcast(touchedSet)
 
     // ---- re-encode touched entities over their FULL incident edge set
-    //      (committed incident triples fetched in one narrow scan) ----
-    val incident = state.idTriples
+    //      in the UPDATED triple table (one narrow scan) ----
+    val incident = triplesU
       .filter(t => bcTouched.value.contains(t.head) || bcTouched.value.contains(t.tail))
-      .unionByName(deltaT)
     val encodedT = encodeIds(spark, touchedSet, touched, incident, entsU, rawU,
       state.weights, dim)
     val encodedU0 = state.encoded.as[(Long, Int, Array[Float])]
@@ -273,7 +339,6 @@ object IncrementalAlign {
 
     // ---- calibration sample (exact order-statistics merge) + delta
     //      corpus, fetched in ONE corpus pass ----
-    val deltaKg2Ids = deltaEnts.filter(_.kg == 2).map(_.id)
     val sampleIdsU = ScoredTopK.mergeSampleIds(state.sampleIds, deltaKg2Ids, cfg.sampleSize)
     // delta corpus = KG2 rows whose score against ANY query may change:
     // new entities + re-encoded (touched) committed ones
@@ -319,7 +384,6 @@ object IncrementalAlign {
     // partition; disjoint-slice merge is exact)
     val oldAccepted: Map[Long, Long] =
       phaseA.filter(_.rescore).map(m => (m.q.srcId, m.oldAccepted)).collect().toMap
-    val newKg1 = newIds.collect { case (id, 1) => id }.toSet
     val rescoreIds = oldAccepted.keySet ++ newKg1
     diag(s"phase A done; rescore queries=${rescoreIds.size} (stale lists=${oldAccepted.size - oldAccepted.keySet.count(touchedKg1)}, stale encodings=${oldAccepted.keySet.count(touchedKg1)}, new=${newKg1.size})")
     val bcRescoreIds = sc.broadcast(rescoreIds)
@@ -369,21 +433,29 @@ object IncrementalAlign {
       .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
 
     // ---- canonical-triple maintenance: relabel only where a component
-    //      changed; materialize delta triples; keep everything else ----
+    //      changed; materialize delta triples; drop retracted docs' rows;
+    //      keep everything else ----
     val bcChangedNodes = sc.broadcast(
       changedNodes.select(col("node")).as[Long].collect().toSet)
     val chDf = broadcast(changedNodes.select(col("node")))
-    // neither endpoint changed → the committed row passes through
-    val keep = state.canonical
+    // neither endpoint changed (and the doc survives) → the committed
+    // row passes through untouched
+    val keep0 =
+      if (droppedDocIds.isEmpty) state.canonical
+      else {
+        val bcDrop = sc.broadcast(droppedDocIds)
+        state.canonical.filter(r => !bcDrop.value.contains(r.getAs[String]("docId")))
+      }
+    val keep = keep0
       .join(chDf.withColumnRenamed("node", "head"), Seq("head"), "left_anti")
       .join(chDf.withColumnRenamed("node", "tail"), Seq("tail"), "left_anti")
-    val relabel = state.idTriples
-      .filter(t => bcChangedNodes.value.contains(t.head) || bcChangedNodes.value.contains(t.tail))
-      .unionByName(deltaT)
+    val bcNewDocs = sc.broadcast(newDocIds)
+    val relabel = triplesU
+      .filter(t => bcChangedNodes.value.contains(t.head) ||
+        bcChangedNodes.value.contains(t.tail) || bcNewDocs.value.contains(t.docId))
     diag(s"CC maintain done; changed nodes=${bcChangedNodes.value.size}")
     val canonicalU = cutDf(keep.unionByName(materialize(spark, relabel, assignP, entsU))
-      .select(col("head"), col("rel"), col("tail"), col("subj"), col("pred"),
-        col("obj"), col("subjId"), col("objId")))
+      .select(CanonCols.map(col): _*))
     canonicalU.count()
 
     diag("canonical maintenance done")
@@ -451,7 +523,7 @@ object IncrementalAlign {
       .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
     AlignState(
       ents = cut(TableIO.read(spark, s"$dir/ents").as[Entity]),
-      idTriples = cut(TableIO.read(spark, s"$dir/id_triples").as[Triple]),
+      idTriples = cut(TableIO.read(spark, s"$dir/id_triples").as[DocTriple]),
       rawEmbs = cut(TableIO.read(spark, s"$dir/raw_embs").as[Emb]),
       encoded = cutDf(TableIO.read(spark, s"$dir/encoded")),
       topk = cut(TableIO.read(spark, s"$dir/topk").as[ScoredQuery]),
@@ -459,8 +531,7 @@ object IncrementalAlign {
       accepted = cutDf(TableIO.read(spark, s"$dir/accepted")),
       assignment = cutDf(TableIO.read(spark, s"$dir/assignment")),
       canonical = cutDf(TableIO.read(spark, s"$dir/canonical")
-        .select(col("head"), col("rel"), col("tail"), col("subj"), col("pred"),
-          col("obj"), col("subjId"), col("objId"))),
+        .select(CanonCols.map(col): _*)),
       weights = weights)
   }
 }

@@ -103,12 +103,24 @@ object Extraction {
     * (broadcast equi-join J1 — dicts are small vs triples). */
   def idTriples(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity]): Dataset[Triple] = {
     import spark.implicits._
+    idTriplesP(spark, raw, ents)
+      .select(col("head"), col("rel"), col("tail")).as[Triple]
+  }
+
+  /** Id-resolved triples WITH document provenance — the committed form
+    * for continuous construction: the per-row docId is what lets
+    * [[graft.IncrementalAlign.retract]] remove a document's triples with
+    * a broadcast filter (and is per-row lineage for the canonical table).
+    * Catalyst prunes docId away on the plain [[idTriples]] path. */
+  def idTriplesP(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity]): Dataset[DocTriple] = {
+    import spark.implicits._
     val e = broadcast(ents.toDF())
     raw.toDF()
       .join(e.select(col("name").as("subj"), col("kg"), col("id").as("head")), Seq("subj", "kg"))
       .join(e.select(col("name").as("obj"), col("kg"), col("id").as("tail")), Seq("obj", "kg"))
-      .select(col("head"), regexp_extract(col("pred"), "rel_(\\d+)", 1).cast("long").as("rel"), col("tail"))
-      .as[Triple]
+      .select(col("docId"),
+        col("head"), regexp_extract(col("pred"), "rel_(\\d+)", 1).cast("long").as("rel"), col("tail"))
+      .as[DocTriple]
   }
 
   /** Span-sequence round-trip: explode + re-collect by span_idx must equal

@@ -37,6 +37,14 @@ case class Entity(id: Long, name: String, kg: Int)
 /** Id-space triple (reference triples_* TSV). */
 case class Triple(head: Long, rel: Long, tail: Long)
 
+/** Id-space triple with document provenance — the committed form in the
+  * continuous-construction state: per-row doc lineage is what makes
+  * retraction (takedown of a committed document) a delta-sized filter
+  * instead of a multiset subtraction over the whole table. */
+case class DocTriple(docId: String, head: Long, rel: Long, tail: Long) {
+  def triple: Triple = Triple(head, rel, tail)
+}
+
 /** Final materialized triple with canonical entity ids + label strings. */
 case class CanonTriple(subj: String, pred: String, obj: String, subjId: Long, objId: Long)
 

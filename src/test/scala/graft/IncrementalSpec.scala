@@ -223,6 +223,29 @@ class IncrementalSpec extends SparkTestBase {
     assert(canonBag(resumed) == canonBag(full))
   }
 
+  test("retract undoes a committed batch bit-exactly (takedown path)") {
+    val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val s2 = IncrementalAlign.delta(spark, s1, d2, e2, icfg)
+    val docIds2 = d2.collect().map(_.doc_id).toSet
+    val back = IncrementalAlign.retract(spark, s2, docIds2, icfg)
+    // the dictionary is NOT retracted (entries apply prospectively), so
+    // the ground truth is a from-scratch run over batch-1 docs with the
+    // UNION dictionary
+    val base = IncrementalAlign.initial(spark, d1, e1.unionByName(e2), icfg)
+    assert(back.sampleIds.toSeq == base.sampleIds.toSeq)
+    val tb = topkMap(back); val t0 = topkMap(base)
+    assert(tb.keySet == t0.keySet)
+    tb.keySet.foreach { id => assert(tb(id) == t0(id), s"query $id") }
+    assert(acceptedSet(back) == acceptedSet(base))
+    assert(effectiveAssign(back) == effectiveAssign(base))
+    assert(canonBag(back) == canonBag(base))
+    // the retraction genuinely undid something: the delta had added
+    // triples and the retract removed them
+    assert(s2.idTriples.count() > back.idTriples.count())
+    assert(back.idTriples.filter(t => docIds2.contains(t.docId)).count() == 0L)
+  }
+
   test("incremental deltas compose: two batches equal one from-scratch run") {
     val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
     val ((_, _), (d3, e3)) = splitFixture(40, 55)
