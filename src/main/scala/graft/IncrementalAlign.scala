@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.kg._
 import graft.align.{GatKernel, GatWeights, MoCoTrainer}
-import graft.candidates.ScoredTopK
+import graft.candidates.{BucketIndex, IndexGeometry, ScoredTopK}
+import graft.candidates.BucketIndex.IndexRow
 import graft.candidates.ScoredTopK.ScoredQuery
 import graft.canon.ConnectedComponents
 import graft.embed.{Embedder, EmbedderConfig}
@@ -65,6 +66,19 @@ final case class IncrementalConfig(
     topK: Int = Dims.TopK,
     rsmThreshold: Double = 2.0,
     sampleSize: Int = 512,
+    /** INDEXED candidate mode (see [[graft.candidates.BucketIndex]]): a
+      * frozen LSH bucket geometry defines the candidate set per query;
+      * lists are the exact cosine top-k OF THAT SET, and the rescore
+      * pass probes the committed index table instead of scanning the
+      * corpus — the 10^12-doc shape of the continuous mode. */
+    useIndex: Boolean = false,
+    /** 16 bands (vs the batch LSH's 10): the maintained index is the
+      * recall-critical path — a missed candidate stays missed until the
+      * entity is touched again, so the default buys per-edge miss
+      * ~0.84^16 ≈ 6% instead of ~18% for 1.6× index rows */
+    indexBands: Int = 16,
+    indexRowsPerBand: Int = 2,
+    indexWScale: Double = 1.0,
     /** per-phase wall + set-size diagnostics on stderr */
     diag: Boolean = false)
 
@@ -90,7 +104,15 @@ final case class AlignState(
     /** (docId, head, rel, tail, subj, pred, obj, subjId, objId) —
       * doc provenance retained per canonical row */
     canonical: DataFrame,
-    weights: GatWeights)
+    weights: GatWeights,
+    /** indexed mode only: the geometry FROZEN at bootstrap (candidate
+      * membership must not drift as the corpus grows) */
+    geometry: Option[IndexGeometry] = None,
+    /** indexed mode only: the committed KG2 bucket index — `bands`
+      * occurrences per corpus row, emb denormalized in so probes are
+      * one narrow pass (at the design point this table is committed
+      * partitioned by a key bucket and probes prune partitions) */
+    index: Option[Dataset[IndexRow]] = None)
 
 object IncrementalAlign {
 
@@ -181,9 +203,16 @@ object IncrementalAlign {
 
   /** Bootstrap: the one-shot batch scorer over the full corpus (exact
     * broadcast path — at the design point this is the regular LSH/IVF
-    * batch pipeline; the STATE SHAPE, not this scorer, is the point). */
+    * batch pipeline; the STATE SHAPE, not this scorer, is the point).
+    *
+    * With `cfg.useIndex`, candidates come from the frozen bucket
+    * geometry instead (fit from the calibration sample unless a
+    * pre-frozen `geometry` is passed — the from-scratch twin of a
+    * maintained indexed state must score under the SAME geometry, so
+    * the exactness gate passes the committed one in explicitly). */
   def initial(spark: SparkSession, docs: Dataset[Doc], ents: Dataset[Entity],
-              cfg: IncrementalConfig): AlignState = {
+              cfg: IncrementalConfig,
+              geometry: Option[IndexGeometry] = None): AlignState = {
     import spark.implicits._
     val entsP = cut(ents)
     val idT = cut(Extraction.idTriplesP(spark, Extraction.rawTriples(spark, docs), entsP))
@@ -204,15 +233,39 @@ object IncrementalAlign {
     // store top-k' (k' = 2k) with completeness — the maintenance slack
     // that lets delta batches drop re-encoded dsts without re-scoring
     val kPrime = 2 * cfg.topK; val tau = cfg.rsmThreshold
-    val corpusComplete = corpusArr.length <= kPrime
-    val topk = encoded.filter(col("kg") === 1).select(col("id"), col("emb"))
+    val queries = encoded.filter(col("kg") === 1).select(col("id"), col("emb"))
       .as[(Long, Array[Float])]
-      .map { case (id, emb) =>
-        val (ids, cs) = ScoredTopK.scoreAll(emb, bcCorpus.value, kPrime)
-        ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, corpusComplete)
-      }
+    val geom: Option[IndexGeometry] =
+      if (!cfg.useIndex) None
+      else geometry.orElse(Some(IndexGeometry.fit(sample, cfg.indexBands,
+        cfg.indexRowsPerBand, cfg.indexWScale)))
+    val topk = geom match {
+      case None =>
+        val corpusComplete = corpusArr.length <= kPrime
+        queries.map { case (id, emb) =>
+          val (ids, cs) = ScoredTopK.scoreAll(emb, bcCorpus.value, kPrime)
+          ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, corpusComplete)
+        }
+      case Some(g) =>
+        // indexed candidate rule: score only bucket-sharing corpus rows;
+        // `complete` now means "the list is ALL candidates of this query"
+        val bcKeys = spark.sparkContext.broadcast(corpusArr.map(e => g.keysOf(e.emb)))
+        val bcG = spark.sparkContext.broadcast(g)
+        queries.map { case (id, emb) =>
+          val (ids, cs, cands) = BucketIndex.scoreShared(emb, bcG.value.keysOf(emb),
+            bcCorpus.value, bcKeys.value, kPrime)
+          ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, cands <= kPrime)
+        }
+    }
     val topkC = cut(topk)
     topkC.count()
+    val index = geom.map { g =>
+      val bcG = spark.sparkContext.broadcast(g)
+      val ds = cut(encoded.filter(col("kg") === 2).select(col("id"), col("emb"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, emb) => BucketIndex.rowsOf(id, emb, bcG.value) })
+      ds.count(); ds
+    }
 
     val accepted = cutDf(topkC.filter(_.acceptedDst >= 0L)
       .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
@@ -220,7 +273,7 @@ object IncrementalAlign {
     val canonical = cutDf(materialize(spark, idT, assignment, entsP))
     canonical.count()
     AlignState(entsP, idT, rawE, encoded, topkC, sampleIds, accepted, assignment,
-      canonical, weights)
+      canonical, weights, geom, index)
   }
 
   /** One delta batch: new docs + new dictionary entries → the next
@@ -360,19 +413,47 @@ object IncrementalAlign {
     val bcTouchedKg1 = sc.broadcast(touchedKg1)
     diag(s"delta corpus=${bcDeltaCorpus.value.length} (changed kg2=${changedKg2.size}), touched kg1=${touchedKg1.size}")
 
+    // ---- indexed mode: maintain the committed bucket index FIRST so
+    //      the rescore pass probes current encodings — drop re-encoded
+    //      rows (their keys changed), append the delta corpus's rows.
+    //      Both pieces stay lazy like every other state table; at the
+    //      design point the drop is a deletion vector on the committed
+    //      key-partitioned table, not a scan ----
+    val bcGeom = sc.broadcast(state.geometry.orNull)
+    val indexU: Option[Dataset[IndexRow]] = state.geometry.map { g =>
+      val survivors = state.index.get.filter(r => !bcChangedKg2.value.contains(r.id))
+      val deltaRows = cut(spark.createDataset(
+        bcDeltaCorpus.value.iterator.flatMap(e => BucketIndex.rowsOf(e.id, e.emb, g)).toSeq))
+      survivors.unionByName(deltaRows)
+    }
+    // delta-corpus band keys, aligned with bcDeltaCorpus (indexed mode)
+    val bcDeltaKeys = sc.broadcast(state.geometry
+      .map(g => bcDeltaCorpus.value.map(e => g.keysOf(e.emb))).orNull)
+
     // phase A — map-only over the committed per-query state: drop
     // re-encoded dsts from the slack list, merge the broadcast delta
     // corpus in; a row re-scores only if its encoding is stale or the
     // drops shrank the exact prefix below k (slack k' = 2k makes that
-    // rare — without it 59% of queries re-scored per batch here)
+    // rare — without it 59% of queries re-scored per batch here).
+    // Indexed mode merges only the BUCKET-SHARING delta rows (the
+    // candidate rule composes: unchanged rows keep their keys, changed
+    // rows re-enter through the delta with their new keys).
     val deltaComplete = bcDeltaCorpus.value.length <= kPrime
     val phaseA = state.topk.map { row =>
       if (bcTouchedKg1.value.contains(row.srcId)) Maint(row, row.acceptedDst, rescore = true)
       else {
         val (kIds, kCos) = ScoredTopK.dropIds(row.dstIds, row.cos, bcChangedKg2.value.contains)
-        val (pIds, pCos) = ScoredTopK.scoreAll(row.emb, bcDeltaCorpus.value, kPrime)
+        val (pIds, pCos, pComplete) = bcGeom.value match {
+          case null =>
+            val (i, c) = ScoredTopK.scoreAll(row.emb, bcDeltaCorpus.value, kPrime)
+            (i, c, deltaComplete)
+          case g =>
+            val (i, c, cands) = BucketIndex.scoreShared(row.emb, g.keysOf(row.emb),
+              bcDeltaCorpus.value, bcDeltaKeys.value, kPrime)
+            (i, c, cands <= kPrime)
+        }
         val (ids, cs, comp) = ScoredTopK.mergeMaint(kIds, kCos, row.complete,
-          pIds, pCos, deltaComplete, kPrime)
+          pIds, pCos, pComplete, kPrime)
         if (ids.length < k && !comp) Maint(row, row.acceptedDst, rescore = true)
         else Maint(ScoredTopK.finish(row.srcId, row.emb, ids, cs, bcSample.value, tau, comp),
           row.acceptedDst, rescore = false)
@@ -393,28 +474,69 @@ object IncrementalAlign {
     val bcOld = sc.broadcast(oldAccepted)
     val rescored: Dataset[Maint] =
       if (rescoreQs.isEmpty) spark.emptyDataset[Maint]
-      else encodedUC.filter(col("kg") === 2).select(col("id"), col("emb"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val qs = bcQs.value
-          val bufs = Array.fill(qs.length)(new ScoredTopK.TopKBuf(kPrime))
-          it.foreach { case (cid, cemb) =>
-            var i = 0
-            while (i < qs.length) { bufs(i).offer(cid, Embedder.dot(qs(i)._2, cemb)); i += 1 }
+      else if (bcGeom.value == null)
+        encodedUC.filter(col("kg") === 2).select(col("id"), col("emb"))
+          .as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val qs = bcQs.value
+            val bufs = Array.fill(qs.length)(new ScoredTopK.TopKBuf(kPrime))
+            it.foreach { case (cid, cemb) =>
+              var i = 0
+              while (i < qs.length) { bufs(i).offer(cid, Embedder.dot(qs(i)._2, cemb)); i += 1 }
+            }
+            qs.indices.iterator.map(i => (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos))
           }
-          qs.indices.iterator.map(i => (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos))
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (x, y) =>
-          val (ids, cs) = ScoredTopK.merge(x._2, x._3, y._2, y._3, kPrime)
-          (x._1, ids, cs)
-        }
-        .map { case (srcId, (_, ids, cs)) =>
-          val emb = bcQs.value.find(_._1 == srcId).get._2
-          Maint(ScoredTopK.finish(srcId, emb, ids, cs, bcSample.value, tau,
-            complete = ids.length < kPrime),
-            bcOld.value.getOrElse(srcId, -1L), rescore = true)
-        }
+          .groupByKey(_._1)
+          .reduceGroups { (x, y) =>
+            val (ids, cs) = ScoredTopK.merge(x._2, x._3, y._2, y._3, kPrime)
+            (x._1, ids, cs)
+          }
+          .map { case (srcId, (_, ids, cs)) =>
+            val emb = bcQs.value.find(_._1 == srcId).get._2
+            Maint(ScoredTopK.finish(srcId, emb, ids, cs, bcSample.value, tau,
+              complete = ids.length < kPrime),
+              bcOld.value.getOrElse(srcId, -1L), rescore = true)
+          }
+      else {
+        // INDEXED rescore: probe the maintained bucket index instead of
+        // scanning the corpus. Each (query, row) pair scores exactly
+        // once — in their FIRST shared band (the row's key prefix rules
+        // out earlier shares), so per-partition top-k slices are
+        // disjoint and merge exactly; candidate counts sum to the true
+        // candidate-set size, giving the completeness bit. At the
+        // design point the index is key-partitioned and this pass
+        // prunes to the probed buckets.
+        val bcQKeys = sc.broadcast(rescoreQs.map(q => bcGeom.value.keysOf(q._2)))
+        indexU.get
+          .mapPartitions { it =>
+            val qs = bcQs.value; val qKeys = bcQKeys.value
+            val bufs = Array.fill(qs.length)(new ScoredTopK.TopKBuf(kPrime))
+            val cnts = new Array[Long](qs.length)
+            it.foreach { r =>
+              var i = 0
+              while (i < qs.length) {
+                if (qKeys(i)(r.band) == r.key &&
+                    !BucketIndex.sharedEarlier(qKeys(i), r.prefix)) {
+                  bufs(i).offer(r.id, Embedder.dot(qs(i)._2, r.emb)); cnts(i) += 1
+                }
+                i += 1
+              }
+            }
+            qs.indices.iterator.map(i =>
+              (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos, cnts(i)))
+          }
+          .groupByKey(_._1)
+          .reduceGroups { (x, y) =>
+            val (ids, cs) = ScoredTopK.merge(x._2, x._3, y._2, y._3, kPrime)
+            (x._1, ids, cs, x._4 + y._4)
+          }
+          .map { case (srcId, (_, ids, cs, cands)) =>
+            val emb = bcQs.value.find(_._1 == srcId).get._2
+            Maint(ScoredTopK.finish(srcId, emb, ids, cs, bcSample.value, tau,
+              complete = cands <= kPrime),
+              bcOld.value.getOrElse(srcId, -1L), rescore = true)
+          }
+      }
     val maintained = phaseA.filter(!_.rescore).unionByName(rescored).persist(lvl)
     val topkU = cut(maintained.map(_.q))
     topkU.count()
@@ -463,7 +585,7 @@ object IncrementalAlign {
     maintained.unpersist(blocking = false)
     edgeChanges.unpersist(blocking = false)
     AlignState(entsU, triplesU, rawU, encodedUC, topkU, sampleIdsU, acceptedU,
-      assignP, canonicalU, state.weights)
+      assignP, canonicalU, state.weights, state.geometry, indexU)
   }
 
   // ---------- durable state: TableIO commit / resume ----------
@@ -499,8 +621,19 @@ object IncrementalAlign {
         .map { case (v, i) => ("combine", i.toLong, v.toDouble) }) ++
       Iterator(("alpha", 0L, w.alpha.toDouble),
         ("centerNorm", 0L, if (w.centerNorm) 1.0 else 0.0),
-        ("neighborNorm", 0L, if (w.neighborNorm) 1.0 else 0.0))
+        ("neighborNorm", 0L, if (w.neighborNorm) 1.0 else 0.0)) ++
+      // indexed mode: the frozen geometry rides in meta (seed stored via
+      // longBitsToDouble — bit-exact round trip for any 64-bit value)
+      state.geometry.iterator.flatMap { g =>
+        Iterator(("geomBands", 0L, g.bands.toDouble),
+          ("geomRows", 0L, g.rows.toDouble),
+          ("geomWidth", 0L, g.width),
+          ("geomSeed", 0L, java.lang.Double.longBitsToDouble(g.seed))) ++
+          g.center.iterator.zipWithIndex.map { case (v, i) => ("geomCenter", i.toLong, v.toDouble) }
+      }
     TableIO.commit(spark, meta.toSeq.toDF("kind", "idx", "value"), s"$dir/meta", "state")
+    state.index.foreach(ix =>
+      TableIO.commit(spark, ix.toDF(), s"$dir/index", "state"))
     TableIO.commit(spark,
       state.sampleIds.zipWithIndex.map { case (id, i) => (i.toLong, id) }.toSeq
         .toDF("idx", "id"), s"$dir/sample", "state")
@@ -521,6 +654,12 @@ object IncrementalAlign {
       centerNorm = scalar("centerNorm") != 0.0, neighborNorm = scalar("neighborNorm") != 0.0)
     val sampleIds = TableIO.read(spark, s"$dir/sample")
       .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val geometry = meta.find(_._1 == "geomBands").map { _ =>
+      IndexGeometry(scalar("geomBands").toInt, scalar("geomRows").toInt,
+        scalar("geomWidth"),
+        java.lang.Double.doubleToRawLongBits(scalar("geomSeed")),
+        arr("geomCenter"))
+    }
     AlignState(
       ents = cut(TableIO.read(spark, s"$dir/ents").as[Entity]),
       idTriples = cut(TableIO.read(spark, s"$dir/id_triples").as[DocTriple]),
@@ -532,6 +671,8 @@ object IncrementalAlign {
       assignment = cutDf(TableIO.read(spark, s"$dir/assignment")),
       canonical = cutDf(TableIO.read(spark, s"$dir/canonical")
         .select(CanonCols.map(col): _*)),
-      weights = weights)
+      weights = weights,
+      geometry = geometry,
+      index = geometry.map(_ => cut(TableIO.read(spark, s"$dir/index").as[IndexRow])))
   }
 }

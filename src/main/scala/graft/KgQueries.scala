@@ -75,27 +75,59 @@ object KgQueries {
       .select(col("srcId"), col("dstId"), col("rank"), round(col("score"), 4).as("rsm_score"))
   }
 
+  /** One shared continuous-construction fixture per session (the same
+    * compute-once discipline as [[tinyResult]]): bootstrap state s1 from
+    * batch 1, delta-merge batch 2 into s2 — q_kg_incremental reads s2,
+    * q_kg_retract undoes batch 2 from it. */
+  private val incCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), (AlignState, Set[String])]()
+  private def incFixture(spark: SparkSession, useIndex: Boolean = false): (AlignState, Set[String]) =
+    incCache.computeIfAbsent((spark, useIndex), { case (s, idxMode) =>
+      val icfg = IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32), topK = 5,
+        useIndex = idxMode)
+      val e1 = 30; val e = 40
+      val cfg1 = graft.ingest.SynthConfig(entitiesPerKg = e1)
+      val cfgU = graft.ingest.SynthConfig(entitiesPerKg = e)
+      def idx(docId: String): Long = docId.substring(docId.lastIndexOf('_') + 1).toLong
+      val s1 = IncrementalAlign.initial(s,
+        graft.ingest.DocSynthesizer.docs(s, cfg1),
+        graft.ingest.DocSynthesizer.entities(s, cfg1), icfg)
+      val docs2 = graft.ingest.DocSynthesizer.docs(s, cfgU).filter(d => idx(d.doc_id) >= e1)
+      val s2 = IncrementalAlign.delta(s, s1, docs2,
+        graft.ingest.DocSynthesizer.entities(s, cfgU)
+          .filter(en => (en.id % graft.ingest.DocSynthesizer.Kg2Base) >= e1), icfg)
+      (s2, docs2.collect().map(_.doc_id).toSet)
+    })
+
   /** Continuous-construction mode (IncrementalAlign): bootstrap a
     * committed state from batch 1, then merge a delta batch with
     * delta-sized maintenance work and emit the maintained canonical
     * triples. Rows-only here; the binding gate is IncrementalSpec's
     * bit-exact `delta(initial(b1), b2) == initial(b1 ∪ b2)` equality. */
-  def qKgIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def qKgIncremental(spark: SparkSession, dir: String): DataFrame =
+    incFixture(spark)._1.canonical
+      .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+
+  /** Retraction (takedown) over the continuous state: remove batch 2's
+    * documents by per-row docId lineage and emit the repaired canonical
+    * triples. Rows-only; the binding gate is IncrementalSpec's bit-exact
+    * `retract(delta(initial(b1), b2), docs(b2)) == initial(b1, dictU)`. */
+  def qKgRetract(spark: SparkSession, dir: String): DataFrame = {
+    val (s2, docIds2) = incFixture(spark)
     val icfg = IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32), topK = 5)
-    val e1 = 30; val e = 40
-    val cfg1 = graft.ingest.SynthConfig(entitiesPerKg = e1)
-    val cfgU = graft.ingest.SynthConfig(entitiesPerKg = e)
-    def idx(docId: String): Long = docId.substring(docId.lastIndexOf('_') + 1).toLong
-    val s1 = IncrementalAlign.initial(spark,
-      graft.ingest.DocSynthesizer.docs(spark, cfg1),
-      graft.ingest.DocSynthesizer.entities(spark, cfg1), icfg)
-    val s2 = IncrementalAlign.delta(spark, s1,
-      graft.ingest.DocSynthesizer.docs(spark, cfgU).filter(d => idx(d.doc_id) >= e1),
-      graft.ingest.DocSynthesizer.entities(spark, cfgU)
-        .filter(en => (en.id % graft.ingest.DocSynthesizer.Kg2Base) >= e1), icfg)
-    s2.canonical.select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+    IncrementalAlign.retract(spark, s2, docIds2, icfg).canonical
+      .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
   }
+
+  /** INDEXED continuous mode: the same two-batch chain under the frozen
+    * bucket-index candidate rule ([[graft.candidates.BucketIndex]]) —
+    * phase-B rescoring probes the maintained index table instead of
+    * scanning the corpus. Rows-only; the binding gates are
+    * IncrementalSpec's bit-exact indexed delta/retract/save-load
+    * equalities plus the ≥0.9 accepted-edge recall vs the exact mode. */
+  def qKgIndexed(spark: SparkSession, dir: String): DataFrame =
+    incFixture(spark, useIndex = true)._1.canonical
+      .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
 
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {
@@ -190,5 +222,7 @@ object KgQueries {
     "q_kg_neighbor_blocks" -> (qKgNeighborBlocks _),
     "q_kg_ssl_alignment" -> (qKgSslAlignment _),
     "q_kg_incremental" -> (qKgIncremental _),
+    "q_kg_retract" -> (qKgRetract _),
+    "q_kg_indexed" -> (qKgIndexed _),
     "q_media_features" -> (qMediaFeatures _))
 }

@@ -1,0 +1,126 @@
+package graft.candidates
+
+import graft.kg.{Dims, Emb}
+import graft.embed.Embedder
+
+/** Frozen LSH bucket-index geometry — the candidate-generation contract
+  * of the INDEXED continuous-construction mode (IncrementalAlign with
+  * `useIndex`).
+  *
+  * The exact continuous mode keeps per-query lists over the FULL corpus,
+  * which forces one narrow corpus pass per delta batch (the rescore) and
+  * a per-query merge against every delta row — fine at sandbox scale,
+  * O(corpus) per batch at the 10^12-doc design point. The indexed mode
+  * changes the CANDIDATE RULE instead of approximating the scores:
+  *
+  *   candidates(q, corpus) = { r : ∃ band j, key_j(q) == key_j(r) }
+  *
+  * under a geometry (projections, width, center) FROZEN at bootstrap.
+  * Lists remain the exact cosine top-k OF THAT CANDIDATE SET, the RSM
+  * calibration sample is unchanged, and because the rule is a pure
+  * function of (q.emb, r.emb, geometry), the maintained state is
+  * bit-identical to a from-scratch indexed run over the union corpus —
+  * the same exactness contract as the exact mode, relative to the
+  * indexed candidate rule (gated in IncrementalSpec).
+  *
+  * Geometry pieces reuse [[LshTopK]]'s machinery: seeded deterministic
+  * unit projections, mean-centering, banded FNV keys. `fit` mirrors
+  * LshTopK.topK's width derivation (wScale × per-coordinate residual
+  * std of the calibration sample) — but the result is COMMITTED in the
+  * alignment state rather than re-derived per call, because candidate
+  * membership must not drift as the corpus grows; a production system
+  * refreshes the geometry only on an explicit index rebuild. */
+final case class IndexGeometry(bands: Int, rows: Int, width: Double,
+                               seed: Long, center: Array[Float]) {
+  @transient private lazy val projs =
+    LshTopK.projections(LshTopK.LshConfig(bands = bands, rowsPerBand = rows, seed = seed),
+      center.length)
+
+  /** Band keys of one embedding under the frozen geometry. */
+  def keysOf(emb: Array[Float]): Array[Long] = {
+    val centered = new Array[Float](center.length)
+    var i = 0
+    while (i < center.length) { centered(i) = emb(i) - center(i); i += 1 }
+    LshTopK.bandKeysOf(centered, projs, width, bands, rows)
+  }
+}
+
+object IndexGeometry {
+  /** Fit a geometry from the (deterministic, driver-side) calibration
+    * sample — same width rule as LshTopK.topK's auto mode. */
+  def fit(sample: Array[Emb], bands: Int = 10, rows: Int = 2,
+          wScale: Double = 1.0, seed: Long = Dims.Seed): IndexGeometry = {
+    require(sample.nonEmpty, "IndexGeometry.fit: empty sample")
+    val dim = sample(0).emb.length
+    val mean = new Array[Float](dim)
+    val acc = new Array[Double](dim); var sq = 0.0
+    sample.foreach { e =>
+      var i = 0
+      while (i < dim) { acc(i) += e.emb(i); sq += e.emb(i).toDouble * e.emb(i); i += 1 }
+    }
+    val n = sample.length
+    var i = 0
+    while (i < dim) { mean(i) = (acc(i) / n).toFloat; i += 1 }
+    val residVar = math.max(1e-12, sq / n - mean.map(x => x.toDouble * x).sum)
+    IndexGeometry(bands, rows, wScale * math.sqrt(residVar / dim), seed, mean)
+  }
+}
+
+object BucketIndex {
+
+  /** One committed index row: the corpus row's occurrence in band `band`
+    * with its band-key prefix keys[0..band) — the prefix lets a probe
+    * score each (query, row) pair exactly once (in their FIRST shared
+    * band), the same cross-band dedup as LshTopK's cogroup cells. At the
+    * design point this table is committed bucket-partitioned (TableIO
+    * partitionCols on a key bucket), so probes prune partitions instead
+    * of scanning. */
+  final case class IndexRow(band: Int, key: Long, id: Long,
+                            emb: Array[Float], prefix: Array[Long])
+
+  /** true iff the pair shares any band (the candidate rule). */
+  def sharesBucket(qKeys: Array[Long], rKeys: Array[Long]): Boolean = {
+    val n = math.min(qKeys.length, rKeys.length)
+    var j = 0
+    while (j < n) { if (qKeys(j) == rKeys(j)) return true; j += 1 }
+    false
+  }
+
+  /** true iff the pair ALSO shares a band before `band` (dedup guard for
+    * an index row found via band `band`: `prefix` = r's keys[0..band)). */
+  def sharedEarlier(qKeys: Array[Long], prefix: Array[Long]): Boolean = {
+    var j = 0
+    while (j < prefix.length) { if (qKeys(j) == prefix(j)) return true; j += 1 }
+    false
+  }
+
+  /** Exact cosine top-k of one query over the BUCKET-SHARING subset of a
+    * driver-side corpus slice (keys precomputed, aligned with `corpus`).
+    * Returns (ids, cos, candidateCount) — the count drives the
+    * completeness flag (complete ⟺ the list is ALL candidates). */
+  def scoreShared(qEmb: Array[Float], qKeys: Array[Long],
+                  corpus: Array[Emb], corpusKeys: Array[Array[Long]],
+                  k: Int): (Array[Long], Array[Double], Long) = {
+    val buf = new ScoredTopK.TopKBuf(k)
+    var cands = 0L
+    var i = 0
+    while (i < corpus.length) {
+      if (sharesBucket(qKeys, corpusKeys(i))) {
+        buf.offer(corpus(i).id, Embedder.dot(qEmb, corpus(i).emb))
+        cands += 1
+      }
+      i += 1
+    }
+    (buf.resultIds, buf.resultCos, cands)
+  }
+
+  /** The index rows of one corpus row (bands occurrences). */
+  def rowsOf(id: Long, emb: Array[Float], geom: IndexGeometry): Iterator[IndexRow] = {
+    val keys = geom.keysOf(emb)
+    Iterator.tabulate(geom.bands)(j =>
+      IndexRow(j, keys(j), id, emb, java.util.Arrays.copyOf(keys, j)))
+  }
+
+  @inline def packKey(band: Int, key: Long): Long =
+    (band.toLong << 48) ^ (key & 0xffffffffffffL)
+}

@@ -21,6 +21,18 @@ case class Span(kind: String, text: String, media_ref: String, offset: Int)
   * Dataset encoder round-trips the required schema. */
 case class Doc(doc_id: String, spans: Seq[Span])
 
+/** CDC-shaped document event for continuous ingestion: `op` is "add"
+  * (spans carried) or "retract" (a takedown tombstone — spans empty,
+  * only doc_id meaningful). Within a micro-batch retractions apply
+  * BEFORE additions (see graft.streaming.StreamingKg). */
+case class DocEvent(op: String, doc_id: String, spans: Seq[Span]) {
+  def doc: Doc = Doc(doc_id, spans)
+}
+object DocEvent {
+  def add(d: Doc): DocEvent = DocEvent("add", d.doc_id, d.spans)
+  def retract(docId: String): DocEvent = DocEvent("retract", docId, Seq.empty)
+}
+
 /** An entity mention detected in a text span. `seq` is the global
   * first-seen order (doc order × span order × position in span) — the
   * reference's neighbor semantics are file-line-order sensitive

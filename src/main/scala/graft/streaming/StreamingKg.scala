@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import graft.{AlignState, IncrementalAlign, IncrementalConfig}
-import graft.kg.{Doc, Entity}
+import graft.kg.{Doc, DocEvent, Entity}
 
 /** Continuous KG construction as a STRUCTURED STREAM: a stream of
   * interleaved documents drives [[IncrementalAlign.delta]] once per
@@ -12,7 +12,7 @@ import graft.kg.{Doc, Entity}
   * state EXACTLY — after any prefix of batches the state is bit-equal
   * to a from-scratch batch run over everything ingested so far (the
   * IncrementalAlign contract, re-gated through the stream in
-  * StreamingSpec).
+  * StreamingSpec / IncrementalSpec).
   *
   * `entsFor` supplies the dictionary entries arriving with a batch (the
   * ingest contract: a document's mentions resolve against entities known
@@ -28,6 +28,17 @@ import graft.kg.{Doc, Entity}
   * snapshot cannot corrupt it: re-running `delta` with already-known
   * entities would violate id uniqueness, so resume logic must skip
   * batches committed at or before the snapshot (offsets handle this).
+  *
+  * COMPACTION: each commit also swaps the live handle to the freshly
+  * loaded snapshot. IncrementalAlign's state tables are lazy unions of
+  * per-batch checkpoint pieces (see its append-mostly note) — width B
+  * after B batches; on an UNBOUNDED stream that plan width, and the
+  * per-batch localCheckpoint blocks backing it, would grow without
+  * bound. The reload replaces each union with a single parquet-backed
+  * scan, so plan width and executor block inventory reset every
+  * `commitEvery` batches — O(commitEvery) regardless of stream length.
+  * load() is gated bit-exact (IncrementalSpec), so compaction cannot
+  * change a single bit of any later delta.
   *
   * The foreachBatch body runs on the DRIVER between micro-batches (the
   * standard mutable-state-at-the-driver pattern); the heavy work inside
@@ -60,12 +71,55 @@ object StreamingKg {
         val docsNow = spark.createDataset(batch.collect().toSeq)(batch.encoder)
         val next = IncrementalAlign.delta(spark, handle.state, docsNow,
           entsFor(docsNow), cfg)
-        handle.set(next)
         batches += 1
-        if (stateDir.isDefined && batches % commitEvery == 0)
-          IncrementalAlign.save(spark, next, stateDir.get)
+        handle.set(commitMaybe(spark, next, stateDir, batches, commitEvery))
       }
     }
     (w, handle)
   }
+
+  /** Wire a CDC-shaped event stream (adds + retraction tombstones) to
+    * the state. Per micro-batch: retractions apply FIRST (takedown of
+    * already-committed docs), then additions run as one delta — so a
+    * batch that retracts doc X and re-adds it lands the new version.
+    * Tombstones for never-committed docs are no-ops by construction
+    * (the docId filter matches nothing). */
+  def writerCdc(events: Dataset[DocEvent],
+                entsFor: Dataset[Doc] => Dataset[Entity],
+                state0: AlignState,
+                cfg: IncrementalConfig,
+                stateDir: Option[String] = None,
+                commitEvery: Int = 1): (DataStreamWriter[DocEvent], Handle) = {
+    val handle = new Handle(new AtomicReference[AlignState](state0))
+    var batches = 0L
+    val w = events.writeStream.foreachBatch { (batch: Dataset[DocEvent], _: Long) =>
+      if (!batch.isEmpty) {
+        val spark: SparkSession = batch.sparkSession
+        import spark.implicits._
+        val rows = batch.collect()
+        val tombstones = rows.iterator.filter(_.op == "retract").map(_.doc_id).toSet
+        val adds = rows.iterator.filter(_.op == "add").map(_.doc).toSeq
+        var st = handle.state
+        if (tombstones.nonEmpty) st = IncrementalAlign.retract(spark, st, tombstones, cfg)
+        if (adds.nonEmpty) {
+          val docsNow = spark.createDataset(adds)
+          st = IncrementalAlign.delta(spark, st, docsNow, entsFor(docsNow), cfg)
+        }
+        batches += 1
+        handle.set(commitMaybe(spark, st, stateDir, batches, commitEvery))
+      }
+    }
+    (w, handle)
+  }
+
+  /** Commit + compact (see class doc) when due; identity otherwise. */
+  private def commitMaybe(spark: SparkSession, st: AlignState,
+                          stateDir: Option[String], batches: Long,
+                          commitEvery: Int): AlignState =
+    stateDir match {
+      case Some(dir) if batches % commitEvery == 0 =>
+        IncrementalAlign.save(spark, st, dir)
+        IncrementalAlign.load(spark, dir)
+      case _ => st
+    }
 }

@@ -246,6 +246,131 @@ class IncrementalSpec extends SparkTestBase {
     assert(back.idTriples.filter(t => docIds2.contains(t.docId)).count() == 0L)
   }
 
+  test("CDC event stream: tombstones retract committed docs; commits compact the state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ((d1, e1), (d2, e2)) = splitFixture(25, 40)
+    val ((_, _), (d3, e3)) = splitFixture(40, 55)
+    val s0 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val cfg55 = SynthConfig(entitiesPerKg = 55)
+    def entsFor(docs: Dataset[Doc]): Dataset[Entity] = {
+      val idxs = docs.collect().map(d =>
+        d.doc_id.substring(d.doc_id.lastIndexOf('_') + 1).toLong).toSet
+      DocSynthesizer.entities(spark, cfg55)
+        .filter(en => idxs.contains(en.id % DocSynthesizer.Kg2Base))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc-kg").toString
+    val source = MemoryStream[DocEvent]
+    // commitEvery=1: every batch commits AND compacts (handle swaps to
+    // the loaded snapshot) — the retraction in batch 2 therefore runs
+    // over a compacted state, exercising takedown-after-resume
+    val (writer, handle) = graft.streaming.StreamingKg.writerCdc(
+      source.toDS(), entsFor, s0, icfg, stateDir = Some(stateDir), commitEvery = 1)
+    val q = writer.start()
+    try {
+      source.addData(d2.collect().toSeq.map(DocEvent.add): _*)
+      q.processAllAvailable()
+      // batch 2: tombstone every batch-1-delta doc AND add batch 3 —
+      // retractions apply first, then the additions run as one delta
+      val evs = d2.collect().toSeq.map(d => DocEvent.retract(d.doc_id)) ++
+        d3.collect().toSeq.map(DocEvent.add)
+      source.addData(evs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // truth: d2's docs gone, its dictionary entries remain (prospective)
+    val full = IncrementalAlign.initial(spark, d1.unionByName(d3),
+      e1.unionByName(e2).unionByName(e3), icfg)
+    assert(topkMap(handle.state) == topkMap(full))
+    assert(acceptedSet(handle.state) == acceptedSet(full))
+    assert(effectiveAssign(handle.state) == effectiveAssign(full))
+    assert(canonBag(handle.state) == canonBag(full))
+    // and the final committed snapshot resumes to the same state
+    val resumed = IncrementalAlign.load(spark, stateDir)
+    assert(topkMap(resumed) == topkMap(full))
+    assert(canonBag(resumed) == canonBag(full))
+  }
+
+  // ---------- indexed candidate mode (frozen bucket geometry) ----------
+
+  private val icfgIdx = icfg.copy(useIndex = true)
+
+  test("indexed mode: delta equals from-scratch under the frozen geometry; buckets prune") {
+    val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfgIdx)
+    assert(s1.geometry.isDefined && s1.index.isDefined)
+    val inc = IncrementalAlign.delta(spark, s1, d2, e2, icfgIdx)
+    // the from-scratch twin must score under the SAME frozen geometry —
+    // candidate membership is part of the maintained contract
+    val full = IncrementalAlign.initial(spark, d1.unionByName(d2),
+      e1.unionByName(e2), icfgIdx, geometry = s1.geometry)
+    assert(inc.sampleIds.toSeq == full.sampleIds.toSeq)
+    val ti = topkMap(inc); val tf = topkMap(full)
+    assert(ti.keySet == tf.keySet)
+    ti.keySet.foreach { id => assert(ti(id) == tf(id), s"query $id") }
+    assert(acceptedSet(inc) == acceptedSet(full))
+    assert(effectiveAssign(inc) == effectiveAssign(full))
+    assert(canonBag(inc) == canonBag(full))
+    // the index table tracks the corpus: bands rows per KG2 entity
+    val g = s1.geometry.get
+    val kg2 = inc.encoded.filter("kg = 2").count()
+    assert(inc.index.get.count() == g.bands * kg2)
+    // the geometry genuinely PRUNES: total candidate mass across queries
+    // is strictly below the all-pairs brute force
+    import graft.candidates.BucketIndex
+    val corpus = inc.encoded.filter("kg = 2").select("id", "emb")
+      .as[(Long, Array[Float])].collect()
+    val cKeys = corpus.map(c => g.keysOf(c._2))
+    val queries = inc.encoded.filter("kg = 1").select("id", "emb")
+      .as[(Long, Array[Float])].collect()
+    val candMass = queries.map { q =>
+      val qk = g.keysOf(q._2)
+      cKeys.count(BucketIndex.sharesBucket(qk, _)).toLong
+    }.sum
+    assert(candMass < queries.length.toLong * corpus.length,
+      s"no pruning: candMass=$candMass of ${queries.length * corpus.length}")
+    // recall vs the EXACT mode: bucketing keeps nearly all accepted edges
+    val exact = IncrementalAlign.initial(spark, d1.unionByName(d2),
+      e1.unionByName(e2), icfg)
+    val accEx = acceptedSet(exact); val accIx = acceptedSet(full)
+    assert(accEx.nonEmpty)
+    val recall = accIx.intersect(accEx).size.toDouble / accEx.size
+    assert(recall >= 0.9, s"indexed accepted-edge recall $recall (${accIx.size} vs ${accEx.size})")
+  }
+
+  test("indexed mode: retract equals from-scratch under the frozen geometry") {
+    val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfgIdx)
+    val s2 = IncrementalAlign.delta(spark, s1, d2, e2, icfgIdx)
+    val docIds2 = d2.collect().map(_.doc_id).toSet
+    val back = IncrementalAlign.retract(spark, s2, docIds2, icfgIdx)
+    val base = IncrementalAlign.initial(spark, d1, e1.unionByName(e2), icfgIdx,
+      geometry = s1.geometry)
+    assert(topkMap(back) == topkMap(base))
+    assert(acceptedSet(back) == acceptedSet(base))
+    assert(effectiveAssign(back) == effectiveAssign(base))
+    assert(canonBag(back) == canonBag(base))
+  }
+
+  test("indexed state survives save/load (geometry + index) and keeps ingesting") {
+    val ((d1, e1), (d2, e2)) = splitFixture(35, 50)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfgIdx)
+    val dir = java.nio.file.Files.createTempDirectory("align-idx").toString
+    IncrementalAlign.save(spark, s1, dir)
+    val resumed = IncrementalAlign.load(spark, dir)
+    val g0 = s1.geometry.get; val g1 = resumed.geometry.get
+    assert(g1.bands == g0.bands && g1.rows == g0.rows && g1.seed == g0.seed)
+    assert(java.lang.Double.doubleToRawLongBits(g1.width) ==
+      java.lang.Double.doubleToRawLongBits(g0.width))
+    assert(g1.center.toSeq == g0.center.toSeq)
+    assert(resumed.index.get.count() == s1.index.get.count())
+    assert(topkMap(resumed) == topkMap(s1))
+    val viaResume = IncrementalAlign.delta(spark, resumed, d2, e2, icfgIdx)
+    val viaLive = IncrementalAlign.delta(spark, s1, d2, e2, icfgIdx)
+    assert(topkMap(viaResume) == topkMap(viaLive))
+    assert(acceptedSet(viaResume) == acceptedSet(viaLive))
+    assert(canonBag(viaResume) == canonBag(viaLive))
+  }
+
   test("incremental deltas compose: two batches equal one from-scratch run") {
     val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
     val ((_, _), (d3, e3)) = splitFixture(40, 55)
