@@ -383,6 +383,7 @@ object IncrementalAlign {
       .filter(t => bcTouched.value.contains(t.head) || bcTouched.value.contains(t.tail))
     val encodedT = encodeIds(spark, touchedSet, touched, incident, entsU, rawU,
       state.weights, dim)
+    diag("re-encode: encodeIds plan built")
     val encodedU0 = state.encoded.as[(Long, Int, Array[Float])]
       .filter(r => !bcTouched.value.contains(r._1)).toDF("id", "kg", "emb")
       .unionByName(encodedT)
@@ -472,6 +473,10 @@ object IncrementalAlign {
       .as[(Long, Array[Float])].filter(r => bcRescoreIds.value.contains(r._1)).collect()
     val bcQs = sc.broadcast(rescoreQs)
     val bcOld = sc.broadcast(oldAccepted)
+    // scored-pair mass of the rescore pass — the deterministic evidence
+    // of what the indexed candidate rule prunes (exact mode scores
+    // |rescoreQs| x |corpus| pairs; indexed only bucket-sharing ones)
+    val candAcc = sc.longAccumulator("rescoreCandidatePairs")
     val rescored: Dataset[Maint] =
       if (rescoreQs.isEmpty) spark.emptyDataset[Maint]
       else if (bcGeom.value == null)
@@ -480,10 +485,13 @@ object IncrementalAlign {
           .mapPartitions { it =>
             val qs = bcQs.value
             val bufs = Array.fill(qs.length)(new ScoredTopK.TopKBuf(kPrime))
+            var rows = 0L
             it.foreach { case (cid, cemb) =>
+              rows += 1
               var i = 0
               while (i < qs.length) { bufs(i).offer(cid, Embedder.dot(qs(i)._2, cemb)); i += 1 }
             }
+            candAcc.add(rows * qs.length)
             qs.indices.iterator.map(i => (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos))
           }
           .groupByKey(_._1)
@@ -522,6 +530,7 @@ object IncrementalAlign {
                 i += 1
               }
             }
+            var tot = 0L; cnts.foreach(tot += _); candAcc.add(tot)
             qs.indices.iterator.map(i =>
               (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos, cnts(i)))
           }
@@ -540,7 +549,7 @@ object IncrementalAlign {
     val maintained = phaseA.filter(!_.rescore).unionByName(rescored).persist(lvl)
     val topkU = cut(maintained.map(_.q))
     topkU.count()
-    diag("phase B (rescore) done")
+    diag(s"phase B (rescore) done; scored pairs=${candAcc.value}")
 
     // ---- canonicalization maintenance on the accepted-edge diff ----
     val edgeChanges = maintained
@@ -548,8 +557,10 @@ object IncrementalAlign {
       .filter(c => c._2 != c._3).persist(lvl)
     val added = edgeChanges.filter(_._3 >= 0L).map(c => (c._1, c._3)).toDF("a", "b")
     val removed = edgeChanges.filter(_._2 >= 0L).map(c => (c._1, c._2)).toDF("a", "b")
+    diag(s"edge diff built")
     val (assignmentU, changedNodes) = ConnectedComponents.maintainDetailed(
       spark, state.assignment, state.accepted, added, removed)
+    diag(s"CC maintainDetailed returned")
     val assignP = cutDf(assignmentU)
     val acceptedU = cutDf(topkU.filter(_.acceptedDst >= 0L)
       .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
