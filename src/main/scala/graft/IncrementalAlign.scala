@@ -172,7 +172,10 @@ object IncrementalAlign {
     val bcIds = spark.sparkContext.broadcast(ids)
     val bcKg = spark.sparkContext.broadcast(kgOf)
     val blocks = blocksFor(spark, triples, ents, rawEmbs, dim, Some(ids))
-    val enc = MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb")
+    // cut: `enc` is referenced twice below (union branch + anti-join
+    // build side) — without it the whole NeighborAgg+GAT subtree (three
+    // shuffles) computes twice inside every downstream action
+    val enc = cutDf(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
     val blockless = rawEmbs.filter(e => bcIds.value.contains(e.id)).toDF("id", "emb")
       .join(enc.select("id"), Seq("id"), "left_anti")
     enc.unionByName(blockless).as[(Long, Array[Float])]
