@@ -262,6 +262,44 @@ object EmbedQueries {
        SELECT node, min(r) AS component FROM (
          SELECT node, r FROM reach UNION SELECT node, node FROM reach) GROUP BY node"""
 
+  // ---------- CC maintenance with removals (splits + singletons) ----------
+
+  /** CC maintenance under additions AND removals: removals split the
+    * nation star components (every n_nationkey % 3 == 0 edge retracted),
+    * a sparse supplier batch re-links part of the hole, and prior nodes
+    * left edgeless must survive as explicit singletons — the full
+    * [[graft.canon.ConnectedComponents.maintain]] contract through the
+    * driver's oracle gate (DuckDB recursive-CTE CC over the final edge
+    * set plus the singleton rule). */
+  def qCcMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val e1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("a"), (col("n_regionkey") + 100).cast("long").as("b"))
+    val rem = e1.filter(col("a") % 3 === 0)
+    val add = t(spark, dir, "supplier").filter(col("s_suppkey") % 5 === 1)
+      .select((col("s_suppkey") % 25).cast("long").as("a"), ((col("s_suppkey") % 7) + 100).cast("long").as("b"))
+    val prior = graft.canon.ConnectedComponents.run(spark, e1)
+    graft.canon.ConnectedComponents.maintain(spark, prior, e1, add, rem)
+  }
+
+  val qCcMaintainSql =
+    """WITH RECURSIVE e1 AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_regionkey + 100 AS BIGINT) AS b FROM nation),
+       rems AS (SELECT a, b FROM e1 WHERE a % 3 = 0),
+       adds AS (SELECT CAST(s_suppkey % 25 AS BIGINT) AS a, CAST(s_suppkey % 7 + 100 AS BIGINT) AS b
+                FROM supplier WHERE s_suppkey % 5 = 1),
+       f AS (SELECT a, b FROM (SELECT a, b FROM e1 EXCEPT SELECT a, b FROM rems)
+             UNION SELECT a, b FROM adds),
+       sym AS (SELECT a, b FROM f UNION SELECT b, a FROM f),
+       reach AS (SELECT a AS node, b AS r FROM sym
+                 UNION SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+       cc AS (SELECT node, min(r) AS component FROM (
+                SELECT node, r FROM reach UNION SELECT node, node FROM reach) GROUP BY node),
+       priornodes AS (SELECT a AS node FROM e1 UNION SELECT b AS node FROM e1)
+       SELECT node, component FROM cc
+       UNION ALL
+       SELECT node, node AS component FROM priornodes
+       WHERE node NOT IN (SELECT node FROM cc)"""
+
   // ---------- event-time tumbling window ----------
 
   def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
@@ -306,6 +344,7 @@ object EmbedQueries {
     "q_embed_quantize" -> (qEmbedQuantize _, qEmbedQuantizeSql),
     "q_connected_components" -> (qConnectedComponents _, qConnectedComponentsSql),
     "q_cc_incremental" -> (qCcIncremental _, qCcIncrementalSql),
+    "q_cc_maintain" -> (qCcMaintain _, qCcMaintainSql),
     "q_events_window" -> (qEventsWindow _, qEventsWindowSql),
     "q_sessionize" -> (qSessionize _, qSessionizeSql))
 }
