@@ -58,9 +58,11 @@ import graft.tableio.TableIO
   * delta-sized sets plus the fixed calibration sample. The one
   * full-corpus collect lives in [[initial]]'s bootstrap scorer — at the
   * design point the bootstrap is the regular batch pipeline (LSH/IVF
-  * candidate paths) and only [[delta]] runs per batch; the rescore pass
-  * could probe a committed LSH/IVF index instead of scanning the corpus,
-  * the documented next step down that path. */
+  * candidate paths) and only [[delta]] runs per batch. With
+  * `cfg.useIndex` the rescore pass probes the committed bucket index
+  * ([[graft.candidates.BucketIndex]]) instead of scanning the corpus —
+  * the 10^12-doc shape of this mode (pruning/recall evidence in
+  * BENCH.md). */
 final case class IncrementalConfig(
     embed: EmbedderConfig = EmbedderConfig(),
     topK: Int = Dims.TopK,
