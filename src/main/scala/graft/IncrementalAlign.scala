@@ -228,48 +228,58 @@ object IncrementalAlign {
       cfg.embed.dim))
     encoded.count()
 
-    val corpusArr = encoded.filter(col("kg") === 2).select(col("id"), col("emb"))
-      .as[(Long, Array[Float])].collect().map { case (i, e) => Emb(i, e) }.sortBy(_.id)
-    val sampleIds = ScoredTopK.sampleIdsOf(corpusArr.map(_.id), cfg.sampleSize)
-    val sIdSet = sampleIds.toSet
-    val sample = corpusArr.filter(e => sIdSet.contains(e.id))
-    val bcCorpus = spark.sparkContext.broadcast(corpusArr)
-    val bcSample = spark.sparkContext.broadcast(sample)
     // store top-k' (k' = 2k) with completeness — the maintenance slack
     // that lets delta batches drop re-encoded dsts without re-scoring
     val kPrime = 2 * cfg.topK; val tau = cfg.rsmThreshold
+    val corpusDs = encoded.filter(col("kg") === 2).select(col("id"), col("emb"))
+      .as[(Long, Array[Float])].map { case (i, e) => Emb(i, e) }
     val queries = encoded.filter(col("kg") === 1).select(col("id"), col("emb"))
       .as[(Long, Array[Float])]
-    val geom: Option[IndexGeometry] =
-      if (!cfg.useIndex) None
-      else geometry.orElse(Some(IndexGeometry.fit(sample, cfg.indexBands,
-        cfg.indexRowsPerBand, cfg.indexWScale)))
-    val topk = geom match {
-      case None =>
-        val corpusComplete = corpusArr.length <= kPrime
-        queries.map { case (id, emb) =>
-          val (ids, cs) = ScoredTopK.scoreAll(emb, bcCorpus.value, kPrime)
-          ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, corpusComplete)
-        }
-      case Some(g) =>
-        // indexed candidate rule: score only bucket-sharing corpus rows;
-        // `complete` now means "the list is ALL candidates of this query"
-        val bcKeys = spark.sparkContext.broadcast(corpusArr.map(e => g.keysOf(e.emb)))
-        val bcG = spark.sparkContext.broadcast(g)
-        queries.map { case (id, emb) =>
-          val (ids, cs, cands) = BucketIndex.scoreShared(emb, bcG.value.keysOf(emb),
-            bcCorpus.value, bcKeys.value, kPrime)
-          ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, cands <= kPrime)
-        }
-    }
-    val topkC = cut(topk)
-    topkC.count()
-    val index = geom.map { g =>
+    val (topkC, sampleIds, geom, index) = if (!cfg.useIndex) {
+      // EXACT bootstrap: full-corpus broadcast scorer — the one
+      // full-corpus driver collect of the continuous mode (at the design
+      // point the bootstrap is the regular batch pipeline, see class doc)
+      val corpusArr = corpusDs.collect().sortBy(_.id)
+      val sIds = ScoredTopK.sampleIdsOf(corpusArr.map(_.id), cfg.sampleSize)
+      val sIdSet = sIds.toSet
+      val sample = corpusArr.filter(e => sIdSet.contains(e.id))
+      val bcCorpus = spark.sparkContext.broadcast(corpusArr)
+      val bcSample = spark.sparkContext.broadcast(sample)
+      val corpusComplete = corpusArr.length <= kPrime
+      val tk = cut(queries.map { case (id, emb) =>
+        val (ids, cs) = ScoredTopK.scoreAll(emb, bcCorpus.value, kPrime)
+        ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, corpusComplete)
+      })
+      tk.count()
+      (tk, sIds, None, None)
+    } else {
+      // INDEXED bootstrap — DISTRIBUTED end-to-end (round 3.5): the
+      // calibration sample comes from one treeAggregate pass, the index
+      // is built first, and queries score against it via the bucket
+      // cogroup (BucketIndex.cogroupTopK) — no corpus or query collect.
+      // `complete` means "the list is ALL candidates of this query";
+      // queries sharing no bucket get an empty COMPLETE list.
+      val sample = BucketIndex.corpusSample(corpusDs, cfg.sampleSize)
+      val g = geometry.getOrElse(IndexGeometry.fit(sample, cfg.indexBands,
+        cfg.indexRowsPerBand, cfg.indexWScale))
       val bcG = spark.sparkContext.broadcast(g)
-      val ds = cut(encoded.filter(col("kg") === 2).select(col("id"), col("emb"))
+      val bcSample = spark.sparkContext.broadcast(sample)
+      val ix = cut(corpusDs.flatMap(e => BucketIndex.rowsOf(e.id, e.emb, bcG.value)))
+      ix.count()
+      val scored = BucketIndex.cogroupTopK(queries, ix, g, kPrime)
+      val hit = scored.map { case (id, emb, ids, cs, cands) =>
+        ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, cands <= kPrime)
+      }
+      val miss = queries.toDF("id", "emb")
+        .join(scored.map(_._1).toDF("id"), Seq("id"), "left_anti")
         .as[(Long, Array[Float])]
-        .flatMap { case (id, emb) => BucketIndex.rowsOf(id, emb, bcG.value) })
-      ds.count(); ds
+        .map { case (id, emb) =>
+          ScoredTopK.finish(id, emb, Array.emptyLongArray, Array.emptyDoubleArray,
+            bcSample.value, tau, complete = true)
+        }
+      val tk = cut(hit.unionByName(miss))
+      tk.count()
+      (tk, sample.map(_.id), Some(g), Some(ix))
     }
 
     val accepted = cutDf(topkC.filter(_.acceptedDst >= 0L)

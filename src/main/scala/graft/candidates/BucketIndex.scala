@@ -123,4 +123,75 @@ object BucketIndex {
 
   @inline def packKey(band: Int, key: Long): Long =
     (band.toLong << 48) ^ (key & 0xffffffffffffL)
+
+  /** true iff the two band-key prefixes (both covering bands [0, band))
+    * share any earlier band — the cogroup form of [[sharedEarlier]],
+    * where the query side also carries only its prefix. */
+  @inline def sharedPrefix(p: Array[Long], r: Array[Long]): Boolean = {
+    var j = 0
+    while (j < p.length) { if (p(j) == r(j)) return true; j += 1 }
+    false
+  }
+
+  /** Deterministic order-statistics corpus sample in ONE distributed
+    * pass (LshTopK.countAndSample; same (hash(id), id) discipline as
+    * ScoredTopK.sampleIdsOf, so the returned rows — ascending by id —
+    * ARE the calibration sample of the corpus id set). */
+  def corpusSample(corpus: org.apache.spark.sql.Dataset[Emb], sampleSize: Int): Array[Emb] =
+    LshTopK.countAndSample(corpus, sampleSize)._2
+
+  /** Distributed bootstrap scorer — the indexed twin of the exact
+    * bootstrap's broadcast scorer, with NEITHER side collected: query
+    * probe rows (bands per query, same shape as [[IndexRow]]) cogroup
+    * with the index by (band, key); inside a cell each (query, row)
+    * pair scores exactly once — in their FIRST shared band (both
+    * prefixes cover bands [0, band), so [[sharedPrefix]] rules out
+    * earlier shares) — so per-cell top-k slices are disjoint and the
+    * reduceGroups merge is exact (ScoredTopK laws), and candidate
+    * counts sum to the true candidate-set size. Returns
+    * (srcId, emb, topIds, topCos, candidateCount) for every query with
+    * ≥1 candidate; callers emit empty-complete rows for the rest.
+    *
+    * Scale notes: shuffle carries bands× copies of each embedding (the
+    * same trade as LshTopK's banding; quantization is the production
+    * step down); a pathological hot bucket concentrates |P|×|C| work in
+    * one cell — the batch path's salt tiling (LshTopK/PairBlocking) is
+    * the remedy if a frozen geometry must serve adversarial data. */
+  def cogroupTopK(queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                  index: org.apache.spark.sql.Dataset[IndexRow],
+                  geom: IndexGeometry, kPrime: Int)
+      : org.apache.spark.sql.Dataset[(Long, Array[Float], Array[Long], Array[Double], Long)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcG = spark.sparkContext.broadcast(geom)
+    val probes = queries.flatMap { case (id, emb) => rowsOf(id, emb, bcG.value) }
+    probes.groupByKey(p => packKey(p.band, p.key))
+      .cogroup(index.groupByKey(r => packKey(r.band, r.key))) { (_, ps, rs) =>
+        val pa = ps.toArray
+        if (pa.isEmpty) Iterator.empty
+        else {
+          val ra = rs.toArray
+          pa.iterator.flatMap { p =>
+            val buf = new ScoredTopK.TopKBuf(kPrime)
+            var cands = 0L
+            var i = 0
+            while (i < ra.length) {
+              val r = ra(i)
+              if (!sharedPrefix(p.prefix, r.prefix)) {
+                buf.offer(r.id, Embedder.dot(p.emb, r.emb)); cands += 1
+              }
+              i += 1
+            }
+            if (cands == 0) Iterator.empty
+            else Iterator((p.id, p.emb, buf.resultIds, buf.resultCos, cands))
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        val (ids, cs) = ScoredTopK.merge(x._3, x._4, y._3, y._4, kPrime)
+        (x._1, x._2, ids, cs, x._5 + y._5)
+      }
+      .map(_._2)
+  }
 }
