@@ -55,12 +55,14 @@ import graft.tableio.TableIO
   *
   * Per-batch cost at scale: all state passes are map-only scans
   * (committed tables are never shuffled); the driver holds only
-  * delta-sized sets plus the fixed calibration sample. The one
-  * full-corpus collect lives in [[initial]]'s bootstrap scorer — at the
-  * design point the bootstrap is the regular batch pipeline (LSH/IVF
-  * candidate paths) and only [[delta]] runs per batch. With
-  * `cfg.useIndex` the rescore pass probes the committed bucket index
-  * ([[graft.candidates.BucketIndex]]) instead of scanning the corpus —
+  * delta-sized sets plus the fixed calibration sample. The EXACT mode's
+  * one full-corpus collect lives in [[initial]]'s bootstrap scorer (its
+  * contract needs full-corpus top-k; at the design point the bootstrap
+  * is the regular batch pipeline's LSH/IVF candidate path). The INDEXED
+  * mode (`cfg.useIndex`) has no such collect anywhere: its bootstrap
+  * scores through a distributed bucket cogroup
+  * ([[graft.candidates.BucketIndex.cogroupTopK]]) and its per-batch
+  * rescore probes the committed index instead of scanning the corpus —
   * the 10^12-doc shape of this mode (pruning/recall evidence in
   * BENCH.md). */
 final case class IncrementalConfig(
