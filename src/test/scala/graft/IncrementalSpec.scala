@@ -371,6 +371,31 @@ class IncrementalSpec extends SparkTestBase {
     assert(canonBag(viaResume) == canonBag(viaLive))
   }
 
+  test("indexed bootstrap is partitioning-independent (cogroup merge laws)") {
+    // the distributed bootstrap's per-cell partial top-k lists merge in
+    // reduceGroups order, which varies with partitioning — the ScoredTopK
+    // total order (cos desc, id asc over disjoint ids) must make the
+    // result identical anyway, as must the treeAggregate sample
+    val ((d1, e1), _) = splitFixture(40, 60)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAt(parts: Int): AlignState =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        IncrementalAlign.initial(spark, d1.repartition(parts), e1.repartition(parts), icfgIdx)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val a = runAt(3)
+    val b = runAt(11)
+    assert(a.sampleIds.toSeq == b.sampleIds.toSeq)
+    val ga = a.geometry.get; val gb = b.geometry.get
+    assert(java.lang.Double.doubleToRawLongBits(ga.width) ==
+      java.lang.Double.doubleToRawLongBits(gb.width))
+    val ta = topkMap(a); val tb = topkMap(b)
+    assert(ta.keySet == tb.keySet)
+    ta.keySet.foreach { id => assert(ta(id) == tb(id), s"query $id") }
+    assert(acceptedSet(a) == acceptedSet(b))
+    assert(effectiveAssign(a) == effectiveAssign(b))
+  }
+
   test("incremental deltas compose: two batches equal one from-scratch run") {
     val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
     val ((_, _), (d3, e3)) = splitFixture(40, 55)
