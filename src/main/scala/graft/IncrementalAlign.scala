@@ -83,6 +83,9 @@ final case class IncrementalConfig(
     indexBands: Int = 16,
     indexRowsPerBand: Int = 2,
     indexWScale: Double = 1.0,
+    /** per-cogroup-cell member cap for the distributed indexed bootstrap
+      * (hot buckets tile into ≤cap²-pair tasks, see BucketIndex) */
+    indexCellCap: Int = 512,
     /** per-phase wall + set-size diagnostics on stderr */
     diag: Boolean = false)
 
@@ -268,7 +271,7 @@ object IncrementalAlign {
       val bcSample = spark.sparkContext.broadcast(sample)
       val ix = cut(corpusDs.flatMap(e => BucketIndex.rowsOf(e.id, e.emb, bcG.value)))
       ix.count()
-      val scored = BucketIndex.cogroupTopK(queries, ix, g, kPrime)
+      val scored = BucketIndex.cogroupTopK(queries, ix, g, kPrime, cfg.indexCellCap)
       val hit = scored.map { case (id, emb, ids, cs, cands) =>
         ScoredTopK.finish(id, emb, ids, cs, bcSample.value, tau, cands <= kPrime)
       }

@@ -152,25 +152,70 @@ object BucketIndex {
     * (srcId, emb, topIds, topCos, candidateCount) for every query with
     * ≥1 candidate; callers emit empty-complete rows for the rest.
     *
-    * Scale notes: shuffle carries bands× copies of each embedding (the
+    * SKEW: a hot bucket would concentrate |P|×|C| work in one task, so
+    * hot cells TILE — per-cell counts on both sides (two key-only jobs),
+    * cells over `cellCap` members split into ⌈n/cap⌉ deterministic hash
+    * tiles per side, and each (probe-tile, row-tile) pair becomes its
+    * own cogroup key: every (query, row) pair still meets exactly once
+    * (probe i fans over row tiles j, row j over probe tiles i — they
+    * meet at (i, j) only), per-task work is bounded at ~cap² scored
+    * pairs, and replication stays O(n/cap) per row — the bipartite form
+    * of PairBlocking's tiling, exactness property-gated in OperatorSpec.
+    *
+    * Scale note: shuffle carries bands× copies of each embedding — the
     * same trade as LshTopK's banding; quantization is the production
-    * step down); a pathological hot bucket concentrates |P|×|C| work in
-    * one cell — the batch path's salt tiling (LshTopK/PairBlocking) is
-    * the remedy if a frozen geometry must serve adversarial data. */
+    * step down. */
   def cogroupTopK(queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                   index: org.apache.spark.sql.Dataset[IndexRow],
-                  geom: IndexGeometry, kPrime: Int)
+                  geom: IndexGeometry, kPrime: Int, cellCap: Int = 512)
       : org.apache.spark.sql.Dataset[(Long, Array[Float], Array[Long], Array[Double], Long)] = {
     val spark = queries.sparkSession
     import spark.implicits._
+    require(cellCap > 0, "cellCap must be positive")
     val bcG = spark.sparkContext.broadcast(geom)
     val probes = queries.flatMap { case (id, emb) => rowsOf(id, emb, bcG.value) }
-    probes.groupByKey(p => packKey(p.band, p.key))
-      .cogroup(index.groupByKey(r => packKey(r.band, r.key))) { (_, ps, rs) =>
-        val pa = ps.toArray
+    // hot-cell inventory: (cell, probe tiles, row tiles) for cells where
+    // either side exceeds the cap — key-only aggregations, driver map is
+    // hot-cells-sized (≤ rows/cap entries) by construction
+    import org.apache.spark.sql.functions.col
+    def cellCounts(ds: org.apache.spark.sql.Dataset[IndexRow], name: String) =
+      ds.map(r => packKey(r.band, r.key)).groupByKey(identity).count().toDF("cell", name)
+    val hotMap: Map[Long, (Int, Int)] =
+      cellCounts(probes, "np").join(cellCounts(index, "nr"), Seq("cell"), "outer")
+        .na.fill(0L, Seq("np", "nr"))
+        .filter(col("np") > cellCap || col("nr") > cellCap)
+        .as[(Long, Long, Long)].collect()
+        .map { case (cell, np, nr) =>
+          cell -> (((np + cellCap - 1) / cellCap).toInt.max(1),
+                   ((nr + cellCap - 1) / cellCap).toInt.max(1))
+        }.toMap
+    val bcHot = spark.sparkContext.broadcast(hotMap)
+    @inline def tileOf(id: Long, t: Int): Int =
+      (graft.util.DetHash.nonNeg(graft.util.DetHash.h1(29L, id)) % t).toInt
+    val saltedProbes = probes.flatMap { p =>
+      val cell = packKey(p.band, p.key)
+      bcHot.value.get(cell) match {
+        case None => Iterator(((cell, 0, 0), p))
+        case Some((tp, tr)) =>
+          val i = tileOf(p.id, tp)
+          Iterator.tabulate(tr)(j => ((cell, i, j), p))
+      }
+    }
+    val saltedRows = index.flatMap { r =>
+      val cell = packKey(r.band, r.key)
+      bcHot.value.get(cell) match {
+        case None => Iterator(((cell, 0, 0), r))
+        case Some((tp, tr)) =>
+          val j = tileOf(r.id, tr)
+          Iterator.tabulate(tp)(i => ((cell, i, j), r))
+      }
+    }
+    saltedProbes.groupByKey(_._1)
+      .cogroup(saltedRows.groupByKey(_._1)) { (_, ps, rs) =>
+        val pa = ps.map(_._2).toArray
         if (pa.isEmpty) Iterator.empty
         else {
-          val ra = rs.toArray
+          val ra = rs.map(_._2).toArray
           pa.iterator.flatMap { p =>
             val buf = new ScoredTopK.TopKBuf(kPrime)
             var cands = 0L

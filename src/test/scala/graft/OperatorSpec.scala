@@ -401,4 +401,30 @@ class OperatorSpec extends SparkTestBase {
     assert(got.count() == 100000L)
     assert(got.filter(org.apache.spark.sql.functions.col("component") =!= 1L).count() == 0L)
   }
+
+  test("BucketIndex cogroup tiling: hot-cell fixture stays bit-exact under a tiny cap") {
+    // near-identical vectors put (almost) everything in shared buckets —
+    // the hot-cell shape; cellCap=7 forces tiling on both sides, and the
+    // result (exact top-k OF the candidate set + candidate counts) must
+    // be bit-identical to the untiled run (every pair meets exactly once)
+    import spark.implicits._
+    import graft.candidates.{BucketIndex, IndexGeometry}
+    import graft.kg.Emb
+    val dim = 16
+    def vec(i: Long): Array[Float] = {
+      val a = Array.tabulate(dim)(d => 1.0f + 0.001f * ((i * 31 + d * 7) % 13))
+      graft.embed.Embedder.l2normalize(a)
+    }
+    val corpus = (100L until 180L).map(i => Emb(i, vec(i)))
+    val queries = spark.createDataset((0L until 40L).map(i => (i, vec(i))))
+    val geom = IndexGeometry.fit(corpus.toArray, bands = 4, rows = 2)
+    val index = spark.createDataset(corpus).flatMap(e => BucketIndex.rowsOf(e.id, e.emb, geom))
+    def run(cap: Int): Map[Long, (Seq[Long], Seq[Double], Long)] =
+      BucketIndex.cogroupTopK(queries, index, geom, kPrime = 6, cellCap = cap)
+        .collect().map(t => t._1 -> ((t._3.toSeq, t._4.toSeq, t._5))).toMap
+    val base = run(1000000)
+    val tiled = run(7)
+    assert(base.nonEmpty, "fixture produced no shared buckets")
+    assert(tiled == base)
+  }
 }
