@@ -158,17 +158,19 @@ object Bench {
 
   /** Which level to sample next, given the extra samples already taken
     * (beyond the mandatory first pair) and the budget. Returns
-    * Some(true)=4N, Some(false)=N, None=stop. Priority: one extra 4N
-    * sample, then one extra N, then a final 4N — capped at 2 extra 4N
-    * + 1 extra N. The 4N level leads twice because (a) it costs ~4×
-    * less wall, and (b) a noise-inflated 4N sample UNDERSTATES the
-    * speedup (round 3's one-sample run read 0.587 off a 4N sample 2×
-    * its repeat cost), so de-noising the numerator is the cheapest
-    * insurance; noise on the N side only overstates it, which the
-    * per-level minimum already treats symmetrically. Each candidate is
-    * gated on 1.3 × its last observed cost fitting the remaining
-    * budget; a skipped expensive level does not block a cheaper later
-    * one. Pure — unit-tested in BenchSpec. */
+    * Some(true)=4N, Some(false)=N, None=stop. Priority alternates
+    * 4N, N, 4N, N, 4N — capped at 3 extra 4N + 2 extra N (the minimum
+    * estimator only improves with samples, so leftover budget keeps
+    * de-noising; a 0.715 reading in a serialized-allocator hour stopped
+    * at the old 2+1 caps with 263 s of budget stranded). The 4N level
+    * leads because (a) it costs ~4× less wall, and (b) a noise-inflated
+    * 4N sample UNDERSTATES the speedup (round 3's one-sample run read
+    * 0.587 off a 4N sample 2× its repeat cost), so de-noising the
+    * numerator is the cheapest insurance; noise on the N side only
+    * overstates it, which the per-level minimum already treats
+    * symmetrically. Each candidate is gated on 1.3 × its last observed
+    * cost fitting the remaining budget; a skipped expensive level does
+    * not block a cheaper later one. Pure — unit-tested in BenchSpec. */
   def nextExtra(extraN: Int, extra4N: Int, elapsed: Double, budget: Double,
                 costN: Double, cost4N: Double): Option[Boolean] = {
     val fits4N = elapsed + 1.3 * cost4N < budget
@@ -176,6 +178,8 @@ object Bench {
     if (extra4N < 1 && fits4N) Some(true)
     else if (extraN < 1 && fitsN) Some(false)
     else if (extra4N < 2 && fits4N) Some(true)
+    else if (extraN < 2 && fitsN) Some(false)
+    else if (extra4N < 3 && fits4N) Some(true)
     else None
   }
 

@@ -19,12 +19,14 @@ class BenchSpec extends AnyFunSuite {
     assert(!s.contains("kg_bench"))
   }
 
-  test("nextExtra: priority 4N, N, 4N — each budget-gated, caps respected") {
-    // plenty of budget: full 4N, N, 4N sequence then stop
+  test("nextExtra: priority 4N, N, 4N, N, 4N — each budget-gated, caps respected") {
+    // plenty of budget: full alternating sequence then stop
     assert(Bench.nextExtra(0, 0, 100, 2000, 400, 100).contains(true))
     assert(Bench.nextExtra(0, 1, 200, 2000, 400, 100).contains(false))
     assert(Bench.nextExtra(1, 1, 600, 2000, 400, 100).contains(true))
-    assert(Bench.nextExtra(1, 2, 700, 2000, 400, 100).isEmpty)
+    assert(Bench.nextExtra(1, 2, 700, 2000, 400, 100).contains(false))
+    assert(Bench.nextExtra(2, 2, 900, 2000, 400, 100).contains(true))
+    assert(Bench.nextExtra(2, 3, 1000, 2000, 400, 100).isEmpty)
     // tight budget: the expensive N is skipped but the cheap 4N still runs
     assert(Bench.nextExtra(0, 1, 600, 800, 400, 100).contains(true))
     // no budget at all: stop immediately
