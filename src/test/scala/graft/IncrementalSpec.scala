@@ -223,6 +223,42 @@ class IncrementalSpec extends SparkTestBase {
     assert(canonBag(resumed) == canonBag(full))
   }
 
+  test("streaming ingestion composes with the INDEXED mode (frozen geometry through commits)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ((d1, e1), (d2, e2)) = splitFixture(25, 40)
+    val ((_, _), (d3, e3)) = splitFixture(40, 55)
+    val idxCfg = icfg.copy(useIndex = true)
+    val s0 = IncrementalAlign.initial(spark, d1, e1, idxCfg)
+    val cfg55 = SynthConfig(entitiesPerKg = 55)
+    def entsFor(docs: Dataset[Doc]): Dataset[Entity] = {
+      val idxs = docs.collect().map(d =>
+        d.doc_id.substring(d.doc_id.lastIndexOf('_') + 1).toLong).toSet
+      DocSynthesizer.entities(spark, cfg55)
+        .filter(en => idxs.contains(en.id % DocSynthesizer.Kg2Base))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("stream-kg-idx").toString
+    val source = MemoryStream[Doc]
+    // commitEvery=1: every batch commits AND compacts (reload swap) — the
+    // frozen geometry and the maintained index must survive each swap
+    val (writer, handle) = graft.streaming.StreamingKg.writer(
+      source.toDS(), entsFor, s0, idxCfg, stateDir = Some(stateDir), commitEvery = 1)
+    val q = writer.start()
+    try {
+      source.addData(d2.collect().toSeq: _*); q.processAllAvailable()
+      source.addData(d3.collect().toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val st = handle.state
+    assert(st.geometry.isDefined && st.index.isDefined)
+    val full = IncrementalAlign.initial(spark,
+      d1.unionByName(d2).unionByName(d3),
+      e1.unionByName(e2).unionByName(e3), idxCfg, geometry = s0.geometry)
+    assert(topkMap(st) == topkMap(full))
+    assert(acceptedSet(st) == acceptedSet(full))
+    assert(canonBag(st) == canonBag(full))
+    assert(st.index.get.count() == full.index.get.count())
+  }
+
   test("retract undoes a committed batch bit-exactly (takedown path)") {
     val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
     val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
