@@ -144,17 +144,19 @@ object Bench {
   /** Whether the budget affords escalating the scaling ladder to rung
     * idx+1, predicting the next pair's cost from the measured current
     * pair: pipeline cost grows ~E^1.6 in this regime (measured 65→196 s
-    * for 50k→100k at 8 cores). Margin 1.45 = 1.2 prediction safety ×
-    * ~1.2 headroom for ONE extra de-noising 4N sample at the new rung —
-    * a rung that lands with samples_n=1/samples_4n=1 and no budget left
-    * is strictly worse evidence than a multi-sample pair one rung down
-    * (observed: single-sample top rungs read 0.41 and 1.17 across two
-    * host windows where de-noised E/2 pairs read 0.66-0.90). Pure —
-    * unit-tested in BenchSpec. */
+    * for 50k→100k at 8 cores). Margin 3.0 = 1.2 prediction safety ×
+    * 2.0 for the rung's DE-NOISING SECOND PAIR (one extra sample per
+    * level) × 1.25 N-side volatility: a rung that lands with
+    * samples_n=1 is not evidence — single-sample top rungs read 0.41,
+    * 1.17 and 1.38 across three host windows (both directions!) where
+    * de-noised lower rungs read 0.66-0.90, and the expensive N-side
+    * re-sample is exactly what a tight post-escalation budget cuts
+    * first. Escalate only when the new rung can be MEASURED, not just
+    * reached. Pure — unit-tested in BenchSpec. */
   def nextRung(rungs: Seq[Int], idx: Int, elapsed: Double, budget: Double,
                pairCost: Double): Boolean =
     idx + 1 < rungs.length &&
-      elapsed + 1.45 * pairCost * math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6) < budget
+      elapsed + 3.0 * pairCost * math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6) < budget
 
   /** Which level to sample next, given the extra samples already taken
     * (beyond the mandatory first pair) and the budget. Returns

@@ -36,16 +36,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.nextExtra(0, 0, 671, 800, 400, 100).isEmpty)         // 671+130 > 800
   }
 
-  test("nextRung: escalates on E^1.6 extrapolation with 1.45 margin; stops at top") {
+  test("nextRung: escalates on E^1.6 extrapolation with 3.0 margin; stops at top") {
     val rungs = Seq(6250, 12500, 25000, 50000)
-    // doubling E predicts 2^1.6 ≈ 3.03× the pair cost, ×1.45 margin ≈ 4.39×
-    assert(Bench.nextRung(rungs, 0, elapsed = 100, budget = 780, pairCost = 100))   // 100+439 < 780
-    assert(!Bench.nextRung(rungs, 0, elapsed = 500, budget = 780, pairCost = 100))  // 500+439 > 780
+    // doubling E predicts 2^1.6 ≈ 3.03× the pair cost, ×3.0 margin ≈ 9.09×
+    assert(Bench.nextRung(rungs, 0, elapsed = 100, budget = 1100, pairCost = 100))  // 100+909 < 1100
+    assert(!Bench.nextRung(rungs, 0, elapsed = 250, budget = 1100, pairCost = 100)) // 250+909 > 1100
     // at the top rung there is nowhere to go regardless of budget
     assert(!Bench.nextRung(rungs, 3, elapsed = 0, budget = 1e9, pairCost = 1))
     // non-doubling step uses the actual ratio
-    assert(Bench.nextRung(Seq(10000, 15000), 0, 0, 250, pairCost = 80))   // 80×1.91×1.45 ≈ 222 < 250
-    assert(!Bench.nextRung(Seq(10000, 15000), 0, 40, 250, pairCost = 80)) // 262 > 250
+    assert(Bench.nextRung(Seq(10000, 15000), 0, 0, 500, pairCost = 80))   // 80×1.91×3.0 ≈ 459 < 500
+    assert(!Bench.nextRung(Seq(10000, 15000), 0, 50, 500, pairCost = 80)) // 509 > 500
   }
 
   test("kg_bench line carries both throughputs and the efficiency") {
