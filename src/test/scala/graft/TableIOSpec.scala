@@ -88,6 +88,28 @@ class TableIOSpec extends SparkTestBase {
     assert(TableIO.latestSnapshotId(s"$dir/id_triples").contains(0L))
   }
 
+  test("crash between data write and manifest move leaves the previous snapshot intact; retry recovers") {
+    val base = tmp()
+    TableIO.commit(spark, Seq((1L, "old")).toDF("k", "v"), base, "s")
+    // simulate a job killed AFTER the parquet write and metrics append but
+    // BEFORE the manifest rename: data + a torn .tmp manifest exist, no
+    // snapshot-1.json. (This is the only window where state is partial —
+    // the write itself is all-or-nothing via Spark's output committer.)
+    Seq((2L, "new"), (3L, "new")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/data/snap-1")
+    Files.writeString(Path.of(base, "_meta", ".snapshot-1.json.tmp"), "{\"torn\"")
+    // readers are unaffected: the table IS snapshot 0
+    assert(TableIO.latestSnapshotId(base).contains(0L))
+    assert(TableIO.snapshotIds(base) == Seq(0L))
+    assert(TableIO.read(spark, base).collect().map(_.getLong(0)).sameElements(Array(1L)))
+    // a retried commit claims id 1, overwrites the orphaned data dir, and
+    // lands atomically — readers flip from the old snapshot to the new one
+    val snap = TableIO.commit(spark, Seq((4L, "retry")).toDF("k", "v"), base, "s")
+    assert(snap.id == 1L && snap.rows == 1)
+    assert(TableIO.read(spark, base).collect().map(_.getLong(0)).sameElements(Array(4L)))
+    assert(TableIO.readAt(spark, base, 0).count() == 1) // time travel unaffected
+  }
+
   test("TSV dictionary sink round-trips sorted (reference at-rest format)") {
     import org.apache.spark.sql.types._
     val base = tmp() + "/dict"
