@@ -629,21 +629,33 @@ object IncrementalAlign {
   // indistinguishable from the in-memory one (gated in IncrementalSpec).
 
   /** Commit every state component under `dir` (one TableIO table each;
-    * canonical partitioned by subjId bucket like the batch pipeline). */
+    * canonical partitioned by subjId bucket like the batch pipeline).
+    *
+    * The MULTI-TABLE commit is atomic via an epoch marker written LAST
+    * (`dir/_state/epoch-<k>.txt`, atomic rename — the same manifest-last
+    * discipline as TableIO.commit, one level up): it records each
+    * component's snapshot id, and [[load]] resolves components through
+    * the newest marker. A save killed between component commits
+    * therefore leaves the previous epoch fully intact — no torn state
+    * mixing one table's new snapshot with another's old one. Orphaned
+    * component snapshots from a crashed save are reclaimed by [[expire]]
+    * once every retained epoch references a higher id. */
   def save(spark: SparkSession, state: AlignState, dir: String): Unit = {
     import spark.implicits._
-    TableIO.commit(spark, state.ents.toDF(), s"$dir/ents", "state")
-    TableIO.commit(spark, state.idTriples.toDF(), s"$dir/id_triples", "state")
-    TableIO.commit(spark, state.rawEmbs.toDF(), s"$dir/raw_embs", "state")
-    TableIO.commit(spark, state.encoded, s"$dir/encoded", "state")
-    TableIO.commit(spark, state.topk.toDF(), s"$dir/topk", "state")
-    TableIO.commit(spark, state.accepted, s"$dir/accepted", "state")
-    TableIO.commit(spark, state.assignment, s"$dir/assignment", "state")
-    TableIO.commit(spark,
+    val ids = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def put(name: String, snap: TableIO.Snapshot): Unit = ids(name) = snap.id
+    put("ents", TableIO.commit(spark, state.ents.toDF(), s"$dir/ents", "state"))
+    put("id_triples", TableIO.commit(spark, state.idTriples.toDF(), s"$dir/id_triples", "state"))
+    put("raw_embs", TableIO.commit(spark, state.rawEmbs.toDF(), s"$dir/raw_embs", "state"))
+    put("encoded", TableIO.commit(spark, state.encoded, s"$dir/encoded", "state"))
+    put("topk", TableIO.commit(spark, state.topk.toDF(), s"$dir/topk", "state"))
+    put("accepted", TableIO.commit(spark, state.accepted, s"$dir/accepted", "state"))
+    put("assignment", TableIO.commit(spark, state.assignment, s"$dir/assignment", "state"))
+    put("canonical", TableIO.commit(spark,
       state.canonical.withColumn("bucket", pmod(col("subjId"), lit(16))),
       s"$dir/canonical", "state",
       inputs = Seq(s"$dir/id_triples", s"$dir/assignment"),
-      partitionCols = Seq("bucket"))
+      partitionCols = Seq("bucket")))
     val w = state.weights
     val meta =
       w.attnSrc.iterator.zipWithIndex.map { case (v, i) => ("attnSrc", i.toLong, v.toDouble) } ++
@@ -662,18 +674,76 @@ object IncrementalAlign {
           ("geomSeed", 0L, java.lang.Double.longBitsToDouble(g.seed))) ++
           g.center.iterator.zipWithIndex.map { case (v, i) => ("geomCenter", i.toLong, v.toDouble) }
       }
-    TableIO.commit(spark, meta.toSeq.toDF("kind", "idx", "value"), s"$dir/meta", "state")
+    put("meta", TableIO.commit(spark, meta.toSeq.toDF("kind", "idx", "value"), s"$dir/meta", "state"))
     state.index.foreach(ix =>
-      TableIO.commit(spark, ix.toDF(), s"$dir/index", "state"))
-    TableIO.commit(spark,
+      put("index", TableIO.commit(spark, ix.toDF(), s"$dir/index", "state")))
+    put("sample", TableIO.commit(spark,
       state.sampleIds.zipWithIndex.map { case (id, i) => (i.toLong, id) }.toSeq
-        .toDF("idx", "id"), s"$dir/sample", "state")
+        .toDF("idx", "id"), s"$dir/sample", "state"))
+    // epoch marker LAST — this line is the commit point of the whole save
+    val k = stateEpochs(dir).lastOption.getOrElse(-1L) + 1
+    java.nio.file.Files.createDirectories(epochDir(dir))
+    val tmp = epochDir(dir).resolve(s".epoch-$k.txt.tmp")
+    java.nio.file.Files.writeString(tmp,
+      ids.iterator.map { case (n, i) => s"$n $i" }.mkString("\n"))
+    java.nio.file.Files.move(tmp, epochDir(dir).resolve(s"epoch-$k.txt"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Resume the committed state from `dir` (latest snapshots). */
-  def load(spark: SparkSession, dir: String): AlignState = {
+  private def epochDir(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_state")
+
+  /** Committed state epochs of `dir`, ascending (one per completed save). */
+  def stateEpochs(dir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val d = epochDir(dir)
+    if (!java.nio.file.Files.isDirectory(d)) Nil
+    else java.nio.file.Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("epoch-") && s.endsWith(".txt") =>
+        s.stripPrefix("epoch-").stripSuffix(".txt").toLong }
+      .toSeq.sorted
+  }
+
+  private def readEpoch(dir: String, k: Long): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(epochDir(dir).resolve(s"epoch-$k.txt"))
+      .asScala.iterator.filter(_.nonEmpty)
+      .map { l => val Array(n, i) = l.split(' '); n -> i.toLong }.toMap
+  }
+
+  /** Retention for the multi-table state: keep the newest `keepEpochs`
+    * epochs (each fully re-loadable via time travel), reclaim everything
+    * older — expired epoch markers plus every component snapshot below
+    * the retained epochs' floor (which also sweeps up orphans left by a
+    * save that crashed before its marker). On an unbounded stream this
+    * bounds state storage at O(keepEpochs × state size). */
+  def expire(dir: String, keepEpochs: Int): Unit = {
+    require(keepEpochs >= 1, "must keep at least the latest epoch")
+    val eps = stateEpochs(dir)
+    if (eps.nonEmpty) {
+      val retained = eps.takeRight(keepEpochs)
+      val floor = retained.map(readEpoch(dir, _)).flatMap(_.toSeq)
+        .groupMapReduce(_._1)(_._2)(math.min)
+      floor.foreach { case (name, id) => TableIO.expireBefore(s"$dir/$name", id) }
+      eps.dropRight(keepEpochs).foreach(k =>
+        java.nio.file.Files.deleteIfExists(epochDir(dir).resolve(s"epoch-$k.txt")))
+    }
+  }
+
+  /** Resume the committed state from `dir`: components resolve through
+    * the newest epoch marker (see [[save]] — a torn save is invisible);
+    * a marker-less legacy dir falls back to each table's latest
+    * snapshot. Pass `epoch` to time-travel to an older retained save. */
+  def load(spark: SparkSession, dir: String, epoch: Option[Long] = None): AlignState = {
     import spark.implicits._
-    val meta = TableIO.read(spark, s"$dir/meta")
+    val epochIds: Option[Map[String, Long]] =
+      epoch.orElse(stateEpochs(dir).lastOption).map(readEpoch(dir, _))
+    def rd(name: String): DataFrame = epochIds.flatMap(_.get(name)) match {
+      case Some(id) => TableIO.readAt(spark, s"$dir/$name", id)
+      case None     => TableIO.read(spark, s"$dir/$name")
+    }
+    val meta = rd("meta")
       .as[(String, Long, Double)].collect()
     def arr(kind: String): Array[Float] = {
       val a = meta.filter(_._1 == kind).sortBy(_._2).map(_._3.toFloat)
@@ -683,7 +753,7 @@ object IncrementalAlign {
     val weights = GatWeights(arr("attnSrc"), arr("attnDst"), scalar("alpha").toFloat,
       combine = arr("combine"),
       centerNorm = scalar("centerNorm") != 0.0, neighborNorm = scalar("neighborNorm") != 0.0)
-    val sampleIds = TableIO.read(spark, s"$dir/sample")
+    val sampleIds = rd("sample")
       .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
     val geometry = meta.find(_._1 == "geomBands").map { _ =>
       IndexGeometry(scalar("geomBands").toInt, scalar("geomRows").toInt,
@@ -692,18 +762,18 @@ object IncrementalAlign {
         arr("geomCenter"))
     }
     AlignState(
-      ents = cut(TableIO.read(spark, s"$dir/ents").as[Entity]),
-      idTriples = cut(TableIO.read(spark, s"$dir/id_triples").as[DocTriple]),
-      rawEmbs = cut(TableIO.read(spark, s"$dir/raw_embs").as[Emb]),
-      encoded = cutDf(TableIO.read(spark, s"$dir/encoded")),
-      topk = cut(TableIO.read(spark, s"$dir/topk").as[ScoredQuery]),
+      ents = cut(rd("ents").as[Entity]),
+      idTriples = cut(rd("id_triples").as[DocTriple]),
+      rawEmbs = cut(rd("raw_embs").as[Emb]),
+      encoded = cutDf(rd("encoded")),
+      topk = cut(rd("topk").as[ScoredQuery]),
       sampleIds = sampleIds,
-      accepted = cutDf(TableIO.read(spark, s"$dir/accepted")),
-      assignment = cutDf(TableIO.read(spark, s"$dir/assignment")),
-      canonical = cutDf(TableIO.read(spark, s"$dir/canonical")
+      accepted = cutDf(rd("accepted")),
+      assignment = cutDf(rd("assignment")),
+      canonical = cutDf(rd("canonical")
         .select(CanonCols.map(col): _*)),
       weights = weights,
       geometry = geometry,
-      index = geometry.map(_ => cut(TableIO.read(spark, s"$dir/index").as[IndexRow])))
+      index = geometry.map(_ => cut(rd("index").as[IndexRow])))
   }
 }

@@ -59,7 +59,8 @@ object StreamingKg {
              state0: AlignState,
              cfg: IncrementalConfig,
              stateDir: Option[String] = None,
-             commitEvery: Int = 1): (DataStreamWriter[Doc], Handle) = {
+             commitEvery: Int = 1,
+             retainEpochs: Option[Int] = None): (DataStreamWriter[Doc], Handle) = {
     val handle = new Handle(new AtomicReference[AlignState](state0))
     var batches = 0L
     val w = docs.writeStream.foreachBatch { (batch: Dataset[Doc], _: Long) =>
@@ -72,7 +73,7 @@ object StreamingKg {
         val next = IncrementalAlign.delta(spark, handle.state, docsNow,
           entsFor(docsNow), cfg)
         batches += 1
-        handle.set(commitMaybe(spark, next, stateDir, batches, commitEvery))
+        handle.set(commitMaybe(spark, next, stateDir, batches, commitEvery, retainEpochs))
       }
     }
     (w, handle)
@@ -89,7 +90,8 @@ object StreamingKg {
                 state0: AlignState,
                 cfg: IncrementalConfig,
                 stateDir: Option[String] = None,
-                commitEvery: Int = 1): (DataStreamWriter[DocEvent], Handle) = {
+                commitEvery: Int = 1,
+                retainEpochs: Option[Int] = None): (DataStreamWriter[DocEvent], Handle) = {
     val handle = new Handle(new AtomicReference[AlignState](state0))
     var batches = 0L
     val w = events.writeStream.foreachBatch { (batch: Dataset[DocEvent], _: Long) =>
@@ -106,20 +108,26 @@ object StreamingKg {
           st = IncrementalAlign.delta(spark, st, docsNow, entsFor(docsNow), cfg)
         }
         batches += 1
-        handle.set(commitMaybe(spark, st, stateDir, batches, commitEvery))
+        handle.set(commitMaybe(spark, st, stateDir, batches, commitEvery, retainEpochs))
       }
     }
     (w, handle)
   }
 
-  /** Commit + compact (see class doc) when due; identity otherwise. */
+  /** Commit + compact (see class doc) when due; identity otherwise.
+    * With `retainEpochs` set, older state epochs are expired after the
+    * commit — on an unbounded stream this bounds state storage at
+    * O(retainEpochs × state size) instead of growing per commit. */
   private def commitMaybe(spark: SparkSession, st: AlignState,
                           stateDir: Option[String], batches: Long,
-                          commitEvery: Int): AlignState =
+                          commitEvery: Int,
+                          retainEpochs: Option[Int]): AlignState =
     stateDir match {
       case Some(dir) if batches % commitEvery == 0 =>
         IncrementalAlign.save(spark, st, dir)
-        IncrementalAlign.load(spark, dir)
+        val loaded = IncrementalAlign.load(spark, dir)
+        retainEpochs.foreach(IncrementalAlign.expire(dir, _))
+        loaded
       case _ => st
     }
 }

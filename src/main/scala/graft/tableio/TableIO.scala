@@ -148,6 +148,40 @@ object TableIO {
   def metrics(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/_metrics")
 
+  /** Retention: expire all but the newest `keepLast` snapshots (Iceberg
+    * `expire_snapshots` parity — an unbounded stream commits forever, so
+    * superseded data dirs must be reclaimable). Metadata-only decision;
+    * the manifest is deleted FIRST so no new reader can resolve an id
+    * whose data is being removed (a reader already holding the resolved
+    * path races only within its own job, same as Iceberg without a
+    * retention grace period — run expiry with slack on a live table).
+    * The `_metrics` history is append-only and is never expired.
+    * Returns the expired ids. */
+  def expireSnapshots(base: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val drop = snapshotIds(base).dropRight(keepLast)
+    drop.foreach(deleteSnapshot(base, _))
+    drop
+  }
+
+  /** Expire every snapshot with id < `minKeepId` (retention keyed by an
+    * externally retained id set — see IncrementalAlign.expire, which
+    * derives the floor from its multi-table epoch markers). */
+  def expireBefore(base: String, minKeepId: Long): Seq[Long] = {
+    val drop = snapshotIds(base).filter(_ < minKeepId)
+    drop.foreach(deleteSnapshot(base, _))
+    drop
+  }
+
+  private def deleteSnapshot(base: String, id: Long): Unit = {
+    Files.deleteIfExists(metaDir(base).resolve(s"snapshot-$id.json"))
+    val dataDir = Paths.get(base, "data", s"snap-$id")
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** Checkpointed resume: if `base` has a snapshot, read it back and skip
     * recompute — otherwise compute, commit, and read back (so downstream
     * always consumes the committed bytes; resume is byte-identical). */

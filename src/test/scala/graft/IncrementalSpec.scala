@@ -187,6 +187,42 @@ class IncrementalSpec extends SparkTestBase {
     assert(canonBag(viaResume) == canonBag(viaLive))
   }
 
+  test("multi-table state commit is atomic: torn save invisible, epochs time-travel, expire bounds storage") {
+    val ((d1, e1), (d2, e2)) = splitFixture(35, 50)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val dir = java.nio.file.Files.createTempDirectory("align-epoch").toString
+    IncrementalAlign.save(spark, s1, dir)                       // epoch 0
+    val s2 = IncrementalAlign.delta(spark, s1, d2, e2, icfg)
+    IncrementalAlign.save(spark, s2, dir)                       // epoch 1
+    assert(IncrementalAlign.stateEpochs(dir) == Seq(0L, 1L))
+    // simulate a save killed after SOME component commits but before the
+    // epoch marker: a newer orphaned snapshot of one table must not leak
+    // into load() (latest-of-each would tear the state here)
+    import spark.implicits._
+    graft.tableio.TableIO.commit(spark,
+      Seq((-1L, "torn")).toDF("idx", "id"), s"$dir/sample", "state")
+    val resumed = IncrementalAlign.load(spark, dir)
+    assert(resumed.sampleIds.toSeq == s2.sampleIds.toSeq)       // not the torn row
+    assert(topkMap(resumed) == topkMap(s2))
+    // epoch time travel: epoch 0 is still exactly s1
+    val old = IncrementalAlign.load(spark, dir, epoch = Some(0L))
+    assert(topkMap(old) == topkMap(s1))
+    assert(canonBag(old) == canonBag(s1))
+    // retention: keep only the newest epoch — component snapshots below
+    // the retained floor are reclaimed (the torn orphan sits ABOVE the
+    // floor and stays until a later epoch supersedes it; it is never
+    // load-visible either way)
+    IncrementalAlign.expire(dir, keepEpochs = 1)
+    assert(IncrementalAlign.stateEpochs(dir) == Seq(1L))
+    intercept[Exception](IncrementalAlign.load(spark, dir, epoch = Some(0L)))
+    // epoch 1 still loads bit-exact after expiry and keeps ingesting
+    val afterExpire = IncrementalAlign.load(spark, dir)
+    assert(topkMap(afterExpire) == topkMap(s2))
+    assert(canonBag(afterExpire) == canonBag(s2))
+    // ents table: epoch-0 snapshot (id 0) reclaimed, epoch-1 (id 1) kept
+    assert(graft.tableio.TableIO.snapshotIds(s"$dir/ents") == Seq(1L))
+  }
+
   test("streaming micro-batch ingestion equals the from-scratch batch run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

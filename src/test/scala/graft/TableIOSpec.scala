@@ -88,6 +88,23 @@ class TableIOSpec extends SparkTestBase {
     assert(TableIO.latestSnapshotId(s"$dir/id_triples").contains(0L))
   }
 
+  test("expireSnapshots reclaims superseded data; latest and metrics survive") {
+    val base = tmp()
+    TableIO.commit(spark, Seq((1L, "a")).toDF("k", "v"), base, "s")
+    TableIO.commit(spark, Seq((2L, "b")).toDF("k", "v"), base, "s")
+    TableIO.commit(spark, Seq((3L, "c")).toDF("k", "v"), base, "s")
+    assert(TableIO.expireSnapshots(base, keepLast = 1) == Seq(0L, 1L))
+    assert(TableIO.snapshotIds(base) == Seq(2L))
+    assert(TableIO.read(spark, base).collect().map(_.getLong(0)).sameElements(Array(3L)))
+    intercept[IllegalStateException](TableIO.readAt(spark, base, 0))
+    assert(!Files.exists(Path.of(base, "data", "snap-0"))) // bytes reclaimed
+    assert(TableIO.metrics(spark, base).count() == 3)      // history append-only
+    // a new commit continues the id sequence past the expired range
+    assert(TableIO.commit(spark, Seq((4L, "d")).toDF("k", "v"), base, "s").id == 3L)
+    assert(TableIO.expireSnapshots(base, keepLast = 5).isEmpty) // nothing to drop
+    intercept[IllegalArgumentException](TableIO.expireSnapshots(base, keepLast = 0))
+  }
+
   test("crash between data write and manifest move leaves the previous snapshot intact; retry recovers") {
     val base = tmp()
     TableIO.commit(spark, Seq((1L, "old")).toDF("k", "v"), base, "s")
