@@ -141,6 +141,34 @@ object Bench {
     bytes.get / 1e6 / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Whole-box (user, sys) jiffies from /proc/stat — the second host
+    * self-description axis. The page-allocation probe measures tmpfs
+    * write throughput in ISOLATION, but a degraded window can still
+    * read healthy there while the guest kernel inflates the job itself
+    * (measured: the same dim-256 pipeline at 8 cores swung 106 s ↔
+    * 179 s within two hours with the alloc probe at 2+ GB/s both
+    * times; /proc/stat over the slow run showed sys≈27× user). The
+    * sys-share of CPU time spent DURING each scaling sample tags
+    * kernel-inflated samples directly: user-dominated ⇒ the wall
+    * measured the engine; sys-dominated ⇒ it measured the host's
+    * page/fault path. None on non-Linux hosts. */
+  def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+")
+      Some((f(1).toLong, f(3).toLong))
+    } catch { case _: Throwable => None }
+
+  /** Fraction of busy CPU (user+sys) spent in the kernel between two
+    * [[cpuJiffies]] samples; None when unavailable or idle. */
+  def sysShare(before: Option[(Long, Long)], after: Option[(Long, Long)]): Option[Double] =
+    for {
+      (u0, s0) <- before; (u1, s1) <- after
+      du = u1 - u0; ds = s1 - s0
+      if du + ds > 0
+    } yield ds.toDouble / (du + ds)
+
   /** Whether the budget affords escalating the scaling ladder to rung
     * idx+1, predicting the next pair's cost from the measured current
     * pair: pipeline cost grows ~E^1.6 in this regime (measured 65→196 s
@@ -191,7 +219,8 @@ object Bench {
     * measured nearest the samples. Pure function — unit-tested in
     * BenchSpec. */
   def renderJson(results: Seq[(String, Double, Boolean)], sfDir: String,
-                 kg: Option[KgBench], host: Option[(Double, Double)] = None): String = {
+                 kg: Option[KgBench], host: Option[(Double, Double)] = None,
+                 sys: Option[(Double, Double)] = None): String = {
     val failed = results.filterNot(_._3).map(_._1)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -209,7 +238,10 @@ object Bench {
     val hostJson = host.map { case (t1, tn) =>
       f""","host_page_alloc_mb_s":{"t1":$t1%.0f,"tn":$tn%.0f}"""
     }.getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$kgJson$hostJson}"""
+    val sysJson = sys.map { case (sn, s4n) =>
+      f""","cpu_sys_share":{"n":$sn%.2f,"4n":$s4n%.2f}"""
+    }.getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$kgJson$hostJson$sysJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -268,10 +300,21 @@ object Bench {
     pipelineRun(spark, math.max(200, benchE / 16), dim)
     spark.stop()
 
+    // per-level kernel-share of the FASTEST sample (the one the minimum
+    // estimator actually uses) — rides in the JSON so a reader can tell
+    // engine-measuring samples from host-inflated ones
+    val levelSys = scala.collection.mutable.Map.empty[Int, Double]
+    val levelBest = scala.collection.mutable.Map.empty[Int, Double]
     def level(c: Int, e: Int): (Long, Double) = {
       System.gc()
       val s = session(c, benchParts, nHigh)
+      val j0 = cpuJiffies()
       val r = pipelineRun(s, e, dim)
+      sysShare(j0, cpuJiffies()).foreach { share =>
+        if (r._2 < levelBest.getOrElse(c, Double.MaxValue)) {
+          levelBest(c) = r._2; levelSys(c) = share
+        }
+      }
       s.stop()
       r
     }
@@ -282,9 +325,10 @@ object Bench {
       if (samplesN.nonEmpty && samples4N.nonEmpty) {
         val (docs, secN) = samplesN.minBy(_._2)
         val sec4N = samples4N.map(_._2).min
+        val sys = for (a <- levelSys.get(nLow); b <- levelSys.get(nHigh)) yield (a, b)
         emit(renderJson(results, sfDir,
           Some(KgBench(docs, dim, nLow, nHigh, secN, sec4N, samplesN.size, samples4N.size)),
-          Some(host)))
+          Some(host), sys))
       }
 
     // ---- scaling LADDER, adaptive to host speed (the budget counts
@@ -302,6 +346,7 @@ object Bench {
     // level. ----
     val rungs = Seq(benchE / 2, benchE).map(math.max(3000, _)).distinct
     def runPair(e: Int): Unit = {
+      levelBest.clear(); levelSys.clear() // walls are not comparable across rungs
       samples4N = List(level(nHigh, e))
       samplesN = List(level(nLow, e))
       probeHost() // the host state that actually surrounded this pair

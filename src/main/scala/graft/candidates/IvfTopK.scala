@@ -148,7 +148,13 @@ object IvfTopK {
   private val EmptyKeys = Array.empty[Long]
 
   def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
-           cfg: IvfConfig = IvfConfig()): Dataset[Candidate] = {
+           cfg: IvfConfig = IvfConfig()): Dataset[Candidate] =
+    graft.util.JobDesc.withJobDesc(spark, "graft: IVF top-k candidates") {
+      topKImpl(spark, queries, corpus, k, cfg)
+    }
+
+  private def topKImpl(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
+           cfg: IvfConfig): Dataset[Candidate] = {
     import spark.implicits._
     val qP = queries.persist(StorageLevel.MEMORY_AND_DISK)
     val cP = corpus.persist(StorageLevel.MEMORY_AND_DISK)

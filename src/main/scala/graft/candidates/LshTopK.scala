@@ -299,7 +299,13 @@ object LshTopK {
   }
 
   def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
-           cfg: LshConfig = LshConfig()): Dataset[Candidate] = {
+           cfg: LshConfig = LshConfig()): Dataset[Candidate] =
+    graft.util.JobDesc.withJobDesc(spark, "graft: LSH top-k candidates") {
+      topKImpl(spark, queries, corpus, k, cfg)
+    }
+
+  private def topKImpl(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int,
+           cfg: LshConfig): Dataset[Candidate] = {
     import spark.implicits._
     // this operator drives several actions over its inputs — persist
     // them so upstream stages (extraction, GAT encode) run exactly once

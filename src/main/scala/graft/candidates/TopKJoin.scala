@@ -27,7 +27,12 @@ object ExactTopK {
   /** For each query vector, the top-k corpus vectors by cosine, plus the
     * RSM calibration moments (mean/std of cosine over a deterministic
     * 1/16 corpus sample — the negative-distribution estimate). */
-  def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int): Dataset[Candidate] = {
+  def topK(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int): Dataset[Candidate] =
+    graft.util.JobDesc.withJobDesc(spark, "graft: exact top-k (broadcast corpus)") {
+      topKImpl(spark, queries, corpus, k)
+    }
+
+  private def topKImpl(spark: SparkSession, queries: Dataset[Emb], corpus: Dataset[Emb], k: Int): Dataset[Candidate] = {
     import spark.implicits._
     val corpusArr = corpus.collect()
     val bc = spark.sparkContext.broadcast(corpusArr)

@@ -88,7 +88,13 @@ object ConnectedComponents {
     * Returns DataFrame(node LONG, component LONG) where component is the
     * minimum node id reachable — for every node appearing in any edge. */
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 20,
-          verbose: Boolean = false): DataFrame = {
+          verbose: Boolean = false): DataFrame =
+    graft.util.JobDesc.withJobDesc(spark, "graft: connected components") {
+      runImpl(spark, edges0, maxIter, verbose)
+    }
+
+  private def runImpl(spark: SparkSession, edges0: DataFrame, maxIter: Int,
+          verbose: Boolean): DataFrame = {
     var edges = cut(edges0.select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a") =!= col("b")).distinct())
     var prev = checksum(edges)

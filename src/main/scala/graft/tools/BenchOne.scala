@@ -44,7 +44,17 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, St]()
+    // stage → owning job's action callsite: SQL-exec stages all report
+    // the generic withThreadLocalCaptured frame, but the JOB start event
+    // carries the action's user callsite, which names the pipeline stage
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = Option(js.properties)
+        val site = Seq("callSite.short", "spark.job.description")
+          .flatMap(k => p.flatMap(x => Option(x.getProperty(k)))).headOption.getOrElse("")
+        js.stageInfos.foreach(si => stageJob.put(si.stageId, s"job${js.jobId} $site".trim))
+      }
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
@@ -54,7 +64,8 @@ object BenchOne {
         val graftFrame = si.details.linesIterator
           .find(l => l.contains("graft.") && !l.contains("BenchOne"))
           .map(_.trim.take(80)).getOrElse(si.name.takeWhile(_ != '\n').take(60))
-        stages.put(si.stageId, St(s"[${si.numTasks}t] $graftFrame", wall,
+        val job = stageJob.getOrDefault(si.stageId, "")
+        stages.put(si.stageId, St(s"[${si.numTasks}t] $job | $graftFrame", wall,
           m.executorRunTime, m.jvmGCTime, m.executorDeserializeTime,
           m.shuffleReadMetrics.fetchWaitTime,
           m.shuffleWriteMetrics.bytesWritten, m.shuffleWriteMetrics.recordsWritten,

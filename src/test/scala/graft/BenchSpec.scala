@@ -68,6 +68,24 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.renderJson(battery, "/tmp/sf", None).contains("host_page_alloc"))
   }
 
+  test("cpu_sys_share section renders and stays complete JSON") {
+    val kg = Bench.KgBench(100000L, 256, 2, 8, 704.1, 196.0, 1, 1)
+    val s = Bench.renderJson(battery, "/tmp/sf", Some(kg), Some((1412.3, 87.9)),
+      sys = Some((0.07, 0.643)))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.contains("\"cpu_sys_share\":{\"n\":0.07,\"4n\":0.64}"), s)
+    assert(!Bench.renderJson(battery, "/tmp/sf", Some(kg)).contains("cpu_sys_share"))
+  }
+
+  test("sysShare: kernel fraction of busy time; None when idle or unmeasurable") {
+    assert(Bench.sysShare(Some((100L, 10L)), Some((180L, 30L))) == Some(0.2))
+    assert(Bench.sysShare(Some((100L, 10L)), Some((100L, 10L))).isEmpty) // idle
+    assert(Bench.sysShare(None, Some((1L, 1L))).isEmpty)
+    // this sandbox is Linux: the live probe must read something
+    val j0 = Bench.cpuJiffies()
+    assert(j0.exists { case (u, s) => u > 0 && s >= 0 })
+  }
+
   test("allocProbe measures a positive rate and cleans up its files") {
     val dir = java.nio.file.Files.createTempDirectory("alloc-probe").toFile
     val r = Bench.allocProbe(2, dir.getAbsolutePath)
