@@ -717,7 +717,10 @@ object IncrementalAlign {
     * older — expired epoch markers plus every component snapshot below
     * the retained epochs' floor (which also sweeps up orphans left by a
     * save that crashed before its marker). On an unbounded stream this
-    * bounds state storage at O(keepEpochs × state size). */
+    * bounds state storage at O(keepEpochs × state size). A component
+    * referenced by NO retained epoch (e.g. `index` after switching the
+    * indexed mode off mid-stream) keeps its last snapshots — retention
+    * only reclaims what a retained epoch supersedes. */
   def expire(dir: String, keepEpochs: Int): Unit = {
     require(keepEpochs >= 1, "must keep at least the latest epoch")
     val eps = stateEpochs(dir)
