@@ -289,7 +289,7 @@ object IncrementalAlign {
 
     val accepted = cutDf(topkC.filter(_.acceptedDst >= 0L)
       .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
-    val assignment = cutDf(ConnectedComponents.run(spark, accepted))
+    val assignment = cutDf(ConnectedComponents.runAuto(spark, accepted))
     val canonical = cutDf(materialize(spark, idT, assignment, entsP))
     canonical.count()
     AlignState(entsP, idT, rawE, encoded, topkC, sampleIds, accepted, assignment,

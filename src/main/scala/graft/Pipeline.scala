@@ -292,7 +292,12 @@ object Pipeline {
     val acceptedEdges = cands.toDF()
       .filter(col("rank") === 1 && col("score") >= cfg.rsmThreshold)
       .select(col("srcId").as("a"), col("dstId").as("b"))
-    val comps = ConnectedComponents.run(spark, acceptedEdges)
+    // size-gated: accepted edges are ≤ |queries| rows — under the driver
+    // cap they solve in one bounded collect + union-find (the distributed
+    // star loop's ~13 jobs/run are pure scheduling latency at that size,
+    // and its LocalRelation result broadcast-joins in stage 6); billions
+    // of queries exceed the cap and take the distributed loop
+    val comps = ConnectedComponents.runAuto(spark, acceptedEdges)
 
     // ---- stage 6: materialize canonical (subj, pred, obj) ----
     val canonMap = comps.select(col("node").as("id"), col("component").as("canon"))

@@ -382,12 +382,17 @@ object LshTopK {
     val cb = banded(cP.repartition(spread)).persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- 2-D salt tiling from per-side bucket counts (ONE fused job) ---
-    val hot = qb.toDF("band", "key", "id", "emb", "keys").select(lit(0).as("side"), col("band"), col("key"))
-      .unionByName(cb.toDF("band", "key", "id", "emb", "keys").select(lit(1).as("side"), col("band"), col("key")))
-      .groupBy("side", "band", "key").count()
-      .filter(col("count") > cfg.bucketCap)
-      .select(col("side"), col("band"), col("key"), col("count"))
-      .as[(Int, Int, Long, Long)].collect()
+    // RDD reduceByKey, not a DataFrame groupBy: the key-only count is a
+    // fixed per-run action, and with AQE on, the groupBy form ran as 3
+    // driver-scheduled query-stage jobs plus a codegen compile — pure
+    // serial floor at small rungs. This form is one job (map-side
+    // combine + one narrow count shuffle), identical result set.
+    val hot = qb.rdd.map(r => ((0, r._1, r._2), 1L))
+      .union(cb.rdd.map(r => ((1, r._1, r._2), 1L)))
+      .reduceByKey(_ + _, spark.sparkContext.defaultParallelism)
+      .filter(_._2 > cfg.bucketCap)
+      .map { case ((s, b, key), n) => (s, b, key, n) }
+      .collect()
     def saltMap(side: Int): Map[Long, Int] = hot.iterator.filter(_._1 == side)
       .map { case (_, b, key, n) =>
         (packKey(b, key), math.ceil(n.toDouble / cfg.bucketCap).toInt) }.toMap

@@ -189,12 +189,22 @@ object ConnectedComponents {
     nodes.keys.iterator.map(n => (n, find(n))).toArray
   }
 
-  /** CC of an edge set KNOWN to be delta-sized (the incremental rebuild
-    * sets): collect up to `driverCap` edges and solve with a driver
-    * union-find — ZERO distributed jobs per star round, which is the
-    * measured cost of small rebuilds (the star loop's per-round shuffles
-    * are pure scheduling latency on delta-sized data). Larger sets fall
-    * back to the distributed loop. */
+  /** Size-gated CC — [[run]]'s auto form: collect up to `driverCap`
+    * edges (`limit` stops the scan early, so probing a 10^12-row edge
+    * set costs one bounded job) and solve with a driver union-find —
+    * ZERO distributed jobs per star round, which is the measured cost
+    * of small inputs (the star loop's per-round shuffles are pure
+    * driver scheduling latency on delta-sized data; ~13 jobs/run at
+    * bench scale, the serial floor that Amdahl-caps small-rung N-vs-4N
+    * scaling). Sets above `driverCap` fall back to the distributed
+    * star loop — the 100-TB shape. Exact twin of [[run]] on the same
+    * edges (equality-gated in OperatorSpec). */
+  def runAuto(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
+              driverCap: Int = 2000000): DataFrame =
+    graft.util.JobDesc.withJobDesc(spark, "graft: connected components") {
+      runSmall(spark, edges, maxIter, driverCap)
+    }
+
   private def runSmall(spark: SparkSession, edges: DataFrame, maxIter: Int,
                        driverCap: Int): DataFrame = {
     import spark.implicits._

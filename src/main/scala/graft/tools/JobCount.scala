@@ -30,8 +30,11 @@ object JobCount {
         jobs += 1
         val gap = if (lastEnd > 0) j.time - lastEnd else 0L
         if (lastEnd > 0) gapMs += gap
-        val site = j.stageInfos.lastOption.map(s => s.name.take(80)).getOrElse("?")
-        println(f"[job] #${j.jobId}%3d gap=${gap / 1000.0}%6.2f s  $site")
+        val site = j.stageInfos.lastOption.map(s => s.name.take(60)).getOrElse("?")
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("-")
+        val nStages = j.stageInfos.size
+        println(f"[job] #${j.jobId}%3d gap=${gap / 1000.0}%6.2f s stages=$nStages%2d  $desc%-40s $site")
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized { lastEnd = j.time }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = synchronized {

@@ -240,6 +240,24 @@ class OperatorSpec extends SparkTestBase {
     assert(got(20L) == 20L && got(23L) == 20L)
   }
 
+  test("runAuto equals run on both sides of the driver cap") {
+    // the pipeline's size-gated CC entry: under the cap it solves with a
+    // driver union-find (zero star rounds), over it (driverCap=0 forces
+    // the fallback) it IS the distributed loop — identical (node,
+    // component) rows either way, on a fixture with chains, a cycle,
+    // duplicate/reversed edges and self-loops
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (5L, 5L), (30L, 31L))
+      .toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = asMap(ConnectedComponents.run(spark, edges))
+    val auto = asMap(ConnectedComponents.runAuto(spark, edges))
+    val forcedDist = asMap(ConnectedComponents.runAuto(spark, edges, driverCap = 0))
+    assert(auto == dist, s"driver fast path diverged: $auto vs $dist")
+    assert(forcedDist == dist)
+  }
+
   test("connected components: reliable checkpoint dir is honored (cluster resilience path)") {
     // round-2 verdict item 4: localCheckpoint blocks have no lineage —
     // with sc.setCheckpointDir set (a real cluster's HDFS/object store),
