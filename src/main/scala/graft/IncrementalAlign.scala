@@ -86,6 +86,15 @@ final case class IncrementalConfig(
     /** per-cogroup-cell member cap for the distributed indexed bootstrap
       * (hot buckets tile into ≤cap²-pair tasks, see BucketIndex) */
     indexCellCap: Int = 512,
+    /** Forced-broadcast gate for entity-dimension joins (extraction
+      * dict, neighbor name/kg dims, canonical names) — the batch
+      * pipeline's [[PipelineConfig.dimBroadcastMaxRows]] discipline:
+      * bootstrap and every refresh probe the (updated) dictionary once
+      * (one narrow bounded job, util.BoundedProbe) and force-broadcast
+      * only under the cap; above it the hints drop and Catalyst/AQE
+      * shuffle-joins — a forced broadcast of billions of entities is a
+      * driver OOM at the design point. ≤ 0 disables forcing. */
+    dimBroadcastMaxRows: Long = 4_000_000L,
     /** per-phase wall + set-size diagnostics on stderr */
     diag: Boolean = false)
 
@@ -152,20 +161,21 @@ object IncrementalAlign {
     * because a center's complete incident edge set is present */
   private def blocksFor(spark: SparkSession, triples: Dataset[DocTriple], ents: Dataset[Entity],
                         rawEmbs: Dataset[Emb], dim: Int,
-                        centers: Option[Set[Long]]): Dataset[NeighborBlock] = {
+                        centers: Option[Set[Long]],
+                        boundedDims: Boolean = true): Dataset[NeighborBlock] = {
     import spark.implicits._
     // seq stays a pure function of triple CONTENT (not provenance): the
     // first-seen neighbor order is invariant under retract/re-add
     val withSeq = triples.map(dt => (dt.triple, (dt.head << 20) ^ dt.tail ^ (dt.rel << 40)))
-    val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
-    val ordered0 = NeighborAgg.orderedNeighbors(spark, edges, ents)
+    val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents, boundedDims)
+    val ordered0 = NeighborAgg.orderedNeighbors(spark, edges, ents, boundedDims = boundedDims)
     val ordered = centers match {
       case Some(cs) =>
         val bc = spark.sparkContext.broadcast(cs)
         ordered0.filter(r => bc.value.contains(r._1))
       case None => ordered0
     }
-    NeighborAgg.blocks(spark, ordered, rawEmbs, ents, dim)
+    NeighborAgg.blocks(spark, ordered, rawEmbs, ents, dim, boundedDims)
   }
 
   /** encode the given id set: GAT over its blocks, raw-embedding
@@ -174,11 +184,11 @@ object IncrementalAlign {
   private def encodeIds(spark: SparkSession, ids: Set[Long], kgOf: Map[Long, Int],
                         triples: Dataset[DocTriple], ents: Dataset[Entity],
                         rawEmbs: Dataset[Emb], weights: GatWeights,
-                        dim: Int): DataFrame = {
+                        dim: Int, boundedDims: Boolean = true): DataFrame = {
     import spark.implicits._
     val bcIds = spark.sparkContext.broadcast(ids)
     val bcKg = spark.sparkContext.broadcast(kgOf)
-    val blocks = blocksFor(spark, triples, ents, rawEmbs, dim, Some(ids))
+    val blocks = blocksFor(spark, triples, ents, rawEmbs, dim, Some(ids), boundedDims)
     // cut: `enc` is referenced twice below (union branch + anti-join
     // build side) — without it the whole NeighborAgg+GAT subtree (three
     // shuffles) computes twice inside every downstream action
@@ -190,19 +200,41 @@ object IncrementalAlign {
       .toDF("id", "kg", "emb")
   }
 
+  /** bootstrap encoding of the ENTIRE dictionary — the distributed twin
+    * of [[encodeIds]] (which is delta-sized by contract and ships driver
+    * id/kg sets): GAT over all blocks, raw-embedding fallback for
+    * blockless entities via anti-join, kg attached by a dictionary JOIN —
+    * no driver collect of the entity table anywhere, so the indexed
+    * mode's bootstrap keeps its 10^12-row shape end-to-end. */
+  private def encodeAll(spark: SparkSession, triples: Dataset[DocTriple],
+                        ents: Dataset[Entity], rawEmbs: Dataset[Emb],
+                        weights: GatWeights, dim: Int,
+                        boundedDims: Boolean): DataFrame = {
+    val blocks = blocksFor(spark, triples, ents, rawEmbs, dim, None, boundedDims)
+    val enc = cutDf(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
+    val blockless = rawEmbs.toDF("id", "emb")
+      .join(enc.select("id"), Seq("id"), "left_anti")
+    val kgOf = graft.util.BoundedProbe.dimHint(
+      ents.toDF().select(col("id"), col("kg")), boundedDims)
+    enc.unionByName(blockless).join(kgOf, "id")
+      .select(col("id"), col("kg"), col("emb"))
+  }
+
   /** canonical materialization with (head, rel, tail) lineage retained —
     * the batch pipeline's stage 6 over an arbitrary triple subset */
   private def materialize(spark: SparkSession, triples: Dataset[DocTriple],
-                          assignment: DataFrame, ents: Dataset[Entity]): DataFrame = {
+                          assignment: DataFrame, ents: Dataset[Entity],
+                          boundedDims: Boolean = true): DataFrame = {
     val canonMap = assignment.select(col("node"), col("component"))
-    val names = ents.toDF().select(col("id"), col("name"))
+    val names = graft.util.BoundedProbe.dimHint(
+      ents.toDF().select(col("id"), col("name")), boundedDims)
     triples.toDF()
       .join(canonMap.withColumnRenamed("node", "head").withColumnRenamed("component", "subjId"), Seq("head"), "left")
       .join(canonMap.withColumnRenamed("node", "tail").withColumnRenamed("component", "objId"), Seq("tail"), "left")
       .withColumn("subjId", coalesce(col("subjId"), col("head")))
       .withColumn("objId", coalesce(col("objId"), col("tail")))
-      .join(broadcast(names).withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
-      .join(broadcast(names).withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
+      .join(names.withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
+      .join(names.withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
       .select(col("docId"), col("head"), col("rel"), col("tail"), col("subj"),
         concat(lit("rel_"), col("rel")).as("pred"), col("obj"),
         col("subjId"), col("objId"))
@@ -225,12 +257,16 @@ object IncrementalAlign {
               geometry: Option[IndexGeometry] = None): AlignState = {
     import spark.implicits._
     val entsP = cut(ents)
-    val idT = cut(Extraction.idTriplesP(spark, Extraction.rawTriples(spark, docs), entsP))
+    // one bounded probe decides every forced dim-broadcast of the
+    // bootstrap (PipelineConfig.dimBroadcastMaxRows discipline)
+    val dimsBounded = cfg.dimBroadcastMaxRows > 0 &&
+      graft.util.BoundedProbe.atMost(entsP.toDF(), cfg.dimBroadcastMaxRows)
+    val idT = cut(Extraction.idTriplesP(spark, Extraction.rawTriples(spark, docs), entsP,
+      dimsBounded))
     val rawE = cut(Embedder.embedEntities(spark, entsP, cfg.embed))
     val weights = GatKernel.initWeights(cfg.embed.dim)
-    val allIds = entsP.collect().map(e => e.id -> e.kg).toMap
-    val encoded = cutDf(encodeIds(spark, allIds.keySet, allIds, idT, entsP, rawE, weights,
-      cfg.embed.dim))
+    val encoded = cutDf(encodeAll(spark, idT, entsP, rawE, weights, cfg.embed.dim,
+      dimsBounded))
     encoded.count()
 
     // store top-k' (k' = 2k) with completeness — the maintenance slack
@@ -290,7 +326,7 @@ object IncrementalAlign {
     val accepted = cutDf(topkC.filter(_.acceptedDst >= 0L)
       .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
     val assignment = cutDf(ConnectedComponents.runAuto(spark, accepted))
-    val canonical = cutDf(materialize(spark, idT, assignment, entsP))
+    val canonical = cutDf(materialize(spark, idT, assignment, entsP, dimsBounded))
     canonical.count()
     AlignState(entsP, idT, rawE, encoded, topkC, sampleIds, accepted, assignment,
       canonical, weights, geom, index)
@@ -315,9 +351,13 @@ object IncrementalAlign {
     // snapshots periodically.
     val ents2C = cut(ents2.as[Entity])
     val entsU = state.ents.unionByName(ents2C)
+    // one bounded probe per batch over the UPDATED dictionary
+    val dimsBounded = cfg.dimBroadcastMaxRows > 0 &&
+      graft.util.BoundedProbe.atMost(entsU.toDF(), cfg.dimBroadcastMaxRows)
     val rawE2 = cut(Embedder.embedEntities(spark, ents2C, cfg.embed))
     val rawU = state.rawEmbs.unionByName(rawE2)
-    val deltaT = cut(Extraction.idTriplesP(spark, Extraction.rawTriples(spark, docs2), entsU))
+    val deltaT = cut(Extraction.idTriplesP(spark, Extraction.rawTriples(spark, docs2), entsU,
+      dimsBounded))
     val triplesU = state.idTriples.unionByName(deltaT)
 
     // ---- touched set: delta entities + delta-triple endpoints ----
@@ -338,7 +378,7 @@ object IncrementalAlign {
       newKg1 = newIds.collect { case (id, 1) => id }.toSet,
       deltaKg2Ids = deltaEnts.filter(_.kg == 2).map(_.id),
       newDocIds = deltaTArr.iterator.map(_.docId).toSet,
-      droppedDocIds = Set.empty, cfg, tStart)
+      droppedDocIds = Set.empty, cfg, tStart, dimsBounded)
   }
 
   /** Retract committed documents (takedown/GDPR path): drop their triples
@@ -370,7 +410,9 @@ object IncrementalAlign {
 
     refresh(spark, state, state.ents, state.rawEmbs, remaining, touched,
       newKg1 = Set.empty, deltaKg2Ids = Array.empty,
-      newDocIds = Set.empty, droppedDocIds = docIds, cfg, tStart)
+      newDocIds = Set.empty, droppedDocIds = docIds, cfg, tStart,
+      dimsBounded = cfg.dimBroadcastMaxRows > 0 &&
+        graft.util.BoundedProbe.atMost(state.ents.toDF(), cfg.dimBroadcastMaxRows))
   }
 
   /** Shared maintenance core: given the UPDATED committed tables
@@ -386,7 +428,8 @@ object IncrementalAlign {
                       touched: Map[Long, Int], newKg1: Set[Long],
                       deltaKg2Ids: Array[Long],
                       newDocIds: Set[String], droppedDocIds: Set[String],
-                      cfg: IncrementalConfig, tStart: Long): AlignState = {
+                      cfg: IncrementalConfig, tStart: Long,
+                      dimsBounded: Boolean): AlignState = {
     import spark.implicits._
     val sc = spark.sparkContext
     val dim = cfg.embed.dim; val k = cfg.topK; val kPrime = 2 * cfg.topK
@@ -402,7 +445,7 @@ object IncrementalAlign {
     val incident = triplesU
       .filter(t => bcTouched.value.contains(t.head) || bcTouched.value.contains(t.tail))
     val encodedT = encodeIds(spark, touchedSet, touched, incident, entsU, rawU,
-      state.weights, dim)
+      state.weights, dim, dimsBounded)
     diag("re-encode: encodeIds plan built")
     val encodedU0 = state.encoded.as[(Long, Int, Array[Float])]
       .filter(r => !bcTouched.value.contains(r._1)).toDF("id", "kg", "emb")
@@ -607,7 +650,8 @@ object IncrementalAlign {
       .filter(t => bcChangedNodes.value.contains(t.head) ||
         bcChangedNodes.value.contains(t.tail) || bcNewDocs.value.contains(t.docId))
     diag(s"CC maintain done; changed nodes=${bcChangedNodes.value.size}")
-    val canonicalU = cutDf(keep.unionByName(materialize(spark, relabel, assignP, entsU))
+    val canonicalU = cutDf(keep.unionByName(
+        materialize(spark, relabel, assignP, entsU, dimsBounded))
       .select(CanonCols.map(col): _*))
     canonicalU.count()
 

@@ -26,7 +26,10 @@ import graft.tableio.TableIO
   * id; block assembly shuffles once on neighbor id; the candidate join
   * shuffles on LSH bucket (or not at all on the broadcast path); CC runs
   * 2–4 small rounds; final materialization shuffles on the partition
-  * column. Entity dictionaries ride broadcast joins throughout.
+  * column. Entity dictionaries ride broadcast joins throughout — but
+  * only while one bounded probe proves them ≤ `dimBroadcastMaxRows`;
+  * past the cap the hints drop and the dims shuffle-join (the correct
+  * plan at billions of entities, where a forced broadcast is an OOM).
   */
 final case class PipelineConfig(
     synth: SynthConfig = SynthConfig(),
@@ -72,6 +75,16 @@ final case class PipelineConfig(
       * Training itself never sees the links (SelfKG is self-supervised),
       * so no leakage split is needed beyond holding them out of eval. */
     validFraction: Double = 0.0,
+    /** Forced-broadcast gate for the entity-dimension joins (extraction
+      * dict, neighbor name/kg dims, stage-4 kgOf, stage-6 names): the
+      * run probes the entity frame ONCE (one narrow job with bounded
+      * per-task cost, util.BoundedProbe) and force-broadcasts these
+      * dims only when |ents| ≤ this cap; above it every hint drops and
+      * Catalyst/AQE picks the join strategy — a forced broadcast of
+      * billions of entities is a driver OOM at the design point. ≤ 0
+      * disables forcing outright (no probe job runs). The two plans are
+      * equality-gated in PipelineSpec. */
+    dimBroadcastMaxRows: Long = 4_000_000L,
     checkpointDir: Option[String] = None)
 
 object PipelineConfig {
@@ -166,6 +179,10 @@ object Pipeline {
       if (cfg.lowercaseNames) ents0.map(e => e.copy(name = e.name.toLowerCase))
       else ents0
 
+    // one bounded probe decides every forced dim-broadcast this run
+    val dimsBounded = cfg.dimBroadcastMaxRows > 0 &&
+      graft.util.BoundedProbe.atMost(ents.toDF(), cfg.dimBroadcastMaxRows)
+
     // ---- stage 1: extraction (checkpointable) ----
     val raw0 = Extraction.rawTriples(spark, docs)
     val raw =
@@ -175,9 +192,9 @@ object Pipeline {
     val idTriples = cfg.checkpointDir match {
       case Some(dir) =>
         TableIO.computeIfAbsent(spark, s"$dir/id_triples", "extract") {
-          Extraction.idTriples(spark, raw, ents).toDF()
+          Extraction.idTriples(spark, raw, ents, dimsBounded).toDF()
         }.as[Triple]
-      case None => Extraction.idTriples(spark, raw, ents)
+      case None => Extraction.idTriples(spark, raw, ents, dimsBounded)
     }
 
     // ---- stage 1b: media-features side table (multimodal lineage) ----
@@ -205,12 +222,12 @@ object Pipeline {
     // SSL ablation skips the neighbor/GAT stage: singleton blocks over
     // the raw embeddings (narrow broadcast join, zero extra shuffles)
     val blocks =
-      if (cfg.useSsl) align.SslPath.singletonBlocks(spark, embs, ents)
+      if (cfg.useSsl) align.SslPath.singletonBlocks(spark, embs, ents, dimsBounded)
       else {
         val withSeq = idTriples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
-        val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
-        val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents)
-        NeighborAgg.blocks(spark, ordered, embs, ents, cfg.embed.dim)
+        val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents, dimsBounded)
+        val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents, boundedDims = dimsBounded)
+        NeighborAgg.blocks(spark, ordered, embs, ents, cfg.embed.dim, dimsBounded)
       }
 
     def fit(ev: Option[GatWeights => Double]): GatWeights =
@@ -237,7 +254,8 @@ object Pipeline {
       embs.toDF("id", "emb").join(encoded.toDF("id", "emb2").select("id"), Seq("id"), "left_anti"))
 
     // ---- stage 4: candidate top-k join (KG1 queries vs KG2 corpus) ----
-    val kgOf = broadcast(ents.toDF().select(col("id"), col("kg")))
+    val kgOf = graft.util.BoundedProbe.dimHint(
+      ents.toDF().select(col("id"), col("kg")), dimsBounded)
     // lineage cut + compute-once: BOTH candidate sides (q1, c2) read this
     // — without it the whole upstream (extraction → blocks → GAT encode)
     // runs twice. CHECKPOINT (not persist) because the candidate stage
@@ -301,14 +319,15 @@ object Pipeline {
 
     // ---- stage 6: materialize canonical (subj, pred, obj) ----
     val canonMap = comps.select(col("node").as("id"), col("component").as("canon"))
-    val names = ents.toDF().select(col("id"), col("name"))
+    val names = graft.util.BoundedProbe.dimHint(
+      ents.toDF().select(col("id"), col("name")), dimsBounded)
     val t = idTriples.toDF()
       .join(canonMap.withColumnRenamed("id", "head").withColumnRenamed("canon", "subjId"), Seq("head"), "left")
       .join(canonMap.withColumnRenamed("id", "tail").withColumnRenamed("canon", "objId"), Seq("tail"), "left")
       .withColumn("subjId", coalesce(col("subjId"), col("head")))
       .withColumn("objId", coalesce(col("objId"), col("tail")))
-      .join(broadcast(names).withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
-      .join(broadcast(names).withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
+      .join(names.withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
+      .join(names.withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
       .select(col("subj"), concat(lit("rel_"), col("rel")).as("pred"), col("obj"),
         col("subjId"), col("objId"), pmod(col("subjId"), lit(16)).as("bucket"))
     val canonical = cfg.checkpointDir match {

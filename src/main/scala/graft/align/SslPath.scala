@@ -32,12 +32,16 @@ import graft.kg._
 object SslPath {
 
   /** Singleton blocks: one per embedded entity, kg attached via a
-    * broadcast dictionary join (entity dict ≪ embeddings at any scale). */
+    * dictionary join — forced broadcast only while the dict is proved
+    * bounded (`boundedDims`); at billions of entities the hint drops
+    * and Catalyst/AQE shuffle-joins instead. */
   def singletonBlocks(spark: SparkSession, embs: Dataset[Emb],
-                      ents: Dataset[Entity]): Dataset[NeighborBlock] = {
+                      ents: Dataset[Entity],
+                      boundedDims: Boolean = true): Dataset[NeighborBlock] = {
     import spark.implicits._
     embs.toDF()
-      .join(broadcast(ents.toDF().select(col("id"), col("kg"))), "id")
+      .join(graft.util.BoundedProbe.dimHint(
+        ents.toDF().select(col("id"), col("kg")), boundedDims), "id")
       .select(col("id"), col("kg"), col("emb"))
       .as[(Long, Int, Array[Float])]
       .map { case (id, kg, emb) => NeighborBlock(id, kg, emb, validLen = 1) }

@@ -100,10 +100,14 @@ object Extraction {
   }
 
   /** Resolve surface triples to id space via the entity dictionary
-    * (broadcast equi-join J1 — dicts are small vs triples). */
-  def idTriples(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity]): Dataset[Triple] = {
+    * (broadcast equi-join J1 — dicts are small vs triples, but still
+    * corpus-scaled in absolute terms: `boundedDims=false` drops the
+    * forced hint and lets Catalyst/AQE shuffle-join, the correct plan
+    * at billions of dictionary rows). */
+  def idTriples(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity],
+                boundedDims: Boolean = true): Dataset[Triple] = {
     import spark.implicits._
-    idTriplesP(spark, raw, ents)
+    idTriplesP(spark, raw, ents, boundedDims)
       .select(col("head"), col("rel"), col("tail")).as[Triple]
   }
 
@@ -112,9 +116,10 @@ object Extraction {
     * [[graft.IncrementalAlign.retract]] remove a document's triples with
     * a broadcast filter (and is per-row lineage for the canonical table).
     * Catalyst prunes docId away on the plain [[idTriples]] path. */
-  def idTriplesP(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity]): Dataset[DocTriple] = {
+  def idTriplesP(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity],
+                 boundedDims: Boolean = true): Dataset[DocTriple] = {
     import spark.implicits._
-    val e = broadcast(ents.toDF())
+    val e = graft.util.BoundedProbe.dimHint(ents.toDF(), boundedDims)
     raw.toDF()
       .join(e.select(col("name").as("subj"), col("kg"), col("id").as("head")), Seq("subj", "kg"))
       .join(e.select(col("name").as("obj"), col("kg"), col("id").as("tail")), Seq("obj", "kg"))

@@ -69,9 +69,10 @@ object NeighborAgg {
     * tail→head seq*2+1 (the reference processes the head side then the
     * tail side of each line — loader/DBP15KRawNeighbors.py:36-45). */
   def undirectedEdges(spark: SparkSession, triplesWithSeq: Dataset[(Triple, Long)],
-                      ents: Dataset[Entity]): Dataset[Edge] = {
+                      ents: Dataset[Entity], boundedDims: Boolean = true): Dataset[Edge] = {
     import spark.implicits._
-    val names = broadcast(ents.toDF().select(col("id"), col("name")))
+    val names = graft.util.BoundedProbe.dimHint(
+      ents.toDF().select(col("id"), col("name")), boundedDims)
     val t = triplesWithSeq.toDF("t", "seq")
     val fwd = t.select(col("t.head").as("center"), col("t.tail").as("nid"), (col("seq") * 2).as("seq"))
     val rev = t.select(col("t.tail").as("center"), col("t.head").as("nid"), (col("seq") * 2 + 1).as("seq"))
@@ -87,9 +88,11 @@ object NeighborAgg {
     * check drops them (loader/DBP15KRawNeighbors.py:36-38). One shuffle,
     * partial-aggregated map-side. */
   def orderedNeighbors(spark: SparkSession, edges: Dataset[Edge], ents: Dataset[Entity],
-                       limit: Int = Dims.NeighborSize - 1): Dataset[(Long, Seq[(String, Long)])] = {
+                       limit: Int = Dims.NeighborSize - 1,
+                       boundedDims: Boolean = true): Dataset[(Long, Seq[(String, Long)])] = {
     import spark.implicits._
-    val centerNames = broadcast(ents.toDF().select(col("id").as("center"), col("name").as("centerName")))
+    val centerNames = graft.util.BoundedProbe.dimHint(
+      ents.toDF().select(col("id").as("center"), col("name").as("centerName")), boundedDims)
     val filtered = edges.toDF().join(centerNames, Seq("center"))
       .filter(col("neighbor") =!= col("centerName"))
       .select(col("center"), col("neighbor"), col("neighborId"), col("seq"))
@@ -115,10 +118,12 @@ object NeighborAgg {
     * embeddings (shuffle on neighbor id), re-collect by (center, pos) —
     * order restored from pos, then prepend center row and zero-pad. */
   def blocks(spark: SparkSession, ordered: Dataset[(Long, Seq[(String, Long)])],
-             embs: Dataset[Emb], ents: Dataset[Entity], dim: Int): Dataset[NeighborBlock] = {
+             embs: Dataset[Emb], ents: Dataset[Entity], dim: Int,
+             boundedDims: Boolean = true): Dataset[NeighborBlock] = {
     import spark.implicits._
     val embDf = embs.toDF("eid", "emb")
-    val kgDf = broadcast(ents.toDF().select(col("id").as("cid"), col("kg")))
+    val kgDf = graft.util.BoundedProbe.dimHint(
+      ents.toDF().select(col("id").as("cid"), col("kg")), boundedDims)
     val exploded = ordered.toDF("center", "ns")
       .select(col("center"), posexplode(col("ns")).as(Seq("pos", "n")))
       .select(col("center"), col("pos"), col("n._2").as("nid"))

@@ -445,4 +445,16 @@ class OperatorSpec extends SparkTestBase {
     assert(base.nonEmpty, "fixture produced no shared buckets")
     assert(tiled == base)
   }
+
+  test("BoundedProbe.atMost is exact at the boundary across partitionings") {
+    import spark.implicits._
+    for (parts <- Seq(1, 3, 16)) {
+      val df = spark.range(0, 100, 1, parts).toDF("v")
+      assert(graft.util.BoundedProbe.atMost(df, 100))
+      assert(graft.util.BoundedProbe.atMost(df, 101))
+      assert(!graft.util.BoundedProbe.atMost(df, 99))
+      assert(!graft.util.BoundedProbe.atMost(df, 1))
+    }
+    assert(graft.util.BoundedProbe.atMost(spark.emptyDataFrame, 0))
+  }
 }

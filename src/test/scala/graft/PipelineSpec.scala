@@ -173,4 +173,19 @@ class PipelineSpec extends SparkTestBase {
     val b = Extraction.idTriples(spark, raw2, ents2).collect().map(t => (t.head, t.rel, t.tail)).sorted
     assert(a.sameElements(b))
   }
+
+  test("unbounded-dims plan (forced dim broadcasts dropped) is bit-identical") {
+    // dimBroadcastMaxRows=1 fails the probe, so every entity-dim join
+    // (dict, neighbor names/kg, kgOf, canonical names) loses its forced
+    // broadcast hint and Catalyst/AQE picks the strategy — the 10^12-row
+    // plan. Values must not depend on the join strategy.
+    val r2 = Pipeline.runSynthetic(spark, cfg.copy(dimBroadcastMaxRows = 1))
+    val a1 = result.alignment.collect().map(c => (c.srcId, c.dstId, c.rank, c.score)).toSet
+    val a2 = r2.alignment.collect().map(c => (c.srcId, c.dstId, c.rank, c.score)).toSet
+    assert(a2 == a1)
+    val cols = Seq("subj", "pred", "obj", "subjId", "objId")
+    val t1 = result.canonicalTriples.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val t2 = r2.canonicalTriples.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(t2 == t1)
+  }
 }
