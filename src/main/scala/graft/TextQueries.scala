@@ -51,7 +51,9 @@ object TextQueries {
   // ---------- n-gram Jaccard near-dup ----------
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    // persisted: consumed by the size aggregate and BOTH self-join
+    // sides — three recomputes of the explode+distinct chain otherwise.
+    val sh = shingles(spark, dir).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     val a = sh.toDF("d1", "sh")
     val b = sh.toDF("d2", "sh")
@@ -114,7 +116,10 @@ object TextQueries {
     * boilerplate-text bucket at corpus scale) tiles across tasks instead
     * of stalling the stage on one straggler; the pair SET is exact. */
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qMinhashSig(spark, dir)
+    // persisted for the same multi-consumer reason as qSimhashPairs:
+    // both band projections plus PairBlocking's bucket counts would
+    // each recompute the shingle→minhash aggregation chain.
+    val sig = qMinhashSig(spark, dir).persist()
     val bands = sig.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
       .unionByName(sig.select(col("doc_id"), lit(1).as("band"), col("band1").as("key")))
     graft.candidates.PairBlocking.pairs(bands, cap = 4096).distinct()
@@ -171,19 +176,45 @@ object TextQueries {
     * at production signature widths (64+ bits) band keys are 16-bit+
     * and buckets shrink accordingly. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qSimhash(spark, dir)
-    val bands = sig
-      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("j"))
-      .select(col("doc_id"), col("j").as("band"),
-        expr("shiftright(simhash, j * 4) % 16").as("key"))
-    val pairs = graft.candidates.PairBlocking.pairs(bands, cap = 4096).distinct()
-    val s = sig.select(col("doc_id"), col("simhash"))
-    pairs
-      .join(s.toDF("d1", "s1"), Seq("d1"))
-      .join(s.toDF("d2", "s2"), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        expr("CAST(bit_count(s1 ^ s2) AS BIGINT)").as("hamming"))
+    // The signature frame (one short row per doc) feeds several
+    // subtrees; without a persist the token-explode aggregation chain
+    // is recomputed per subtree (exchange reuse does not apply: each
+    // consumer re-shards it differently).
+    val sig = qSimhash(spark, dir).persist()
+
+    // Near-dup corpora collapse to FAR fewer distinct signature VALUES
+    // than docs (that is the point of SimHash), so the banded Hamming
+    // search runs at the signature level — O(distinct²/16) candidate
+    // checks instead of O(docs²/16) — and doc pairs are recovered by
+    // two value→docs expansion joins whose output IS the result set.
+    // At 2^b possible signatures the value table is bounded a priori;
+    // at production widths (64+ bits) it is bounded by the corpus's
+    // near-dup structure instead, which is exactly when this plan wins.
+    val vals = sig.select(col("simhash").as("s")).distinct().persist()
+    val bands = vals
+      .select(col("s"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("s").as("doc_id"), col("j").as("band"),
+        expr("shiftright(doc_id, j * 4) % 16").as("key"))
+    // value-level candidates: banded (pigeonhole-lossless for d ≤ 2
+    // over 4 bands), skew-tiled, then the exact Hamming filter
+    val valPairs = graft.candidates.PairBlocking.pairs(bands, cap = 4096)
+      .distinct()
+      .select(col("d1").as("s1"), col("d2").as("s2"),
+        expr("CAST(bit_count(d1 ^ d2) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 2)
+    // expansion 1: docs sharing one exact signature pair all ways
+    val sameSig = sig.toDF("da", "s").join(sig.toDF("db", "s"), Seq("s"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"), lit(0L).as("hamming"))
+    // expansion 2: cross-signature pairs; s1 != s2 so d1 != d2, and the
+    // (least, greatest) projection restores the doc-id orientation that
+    // the value-level ordering cannot know
+    val crossSig = valPairs.filter(col("s1") =!= col("s2"))
+      .join(sig.toDF("da", "s1"), Seq("s1"))
+      .join(sig.toDF("db", "s2"), Seq("s2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    sameSig.unionByName(crossSig)
   }
 
   val qSimhashPairsSql =
