@@ -13,10 +13,16 @@ object JobCount {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val e = if (args.length > 1) args(1).toInt else 25000
     val dim = if (args.length > 2) args(2).toInt else 256
+    // warm=1: run the pipeline twice and report the SECOND run — the
+    // cold run's gaps are dominated by one-time codegen/JIT that the
+    // bench's warmup also absorbs, so only warmed gaps reflect the
+    // steady-state serial floor the scaling pair pays.
+    val warm = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.default.parallelism", "8")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,6 +53,12 @@ object JobCount {
     val cfg = graft.PipelineConfig(
       synth = graft.ingest.SynthConfig(entitiesPerKg = e),
       embed = graft.embed.EmbedderConfig(dim = dim), useLsh = Some(true))
+    if (warm > 0) {
+      graft.Pipeline.runSynthetic(spark, cfg).canonicalTriples.count()
+      Thread.sleep(500)
+      synchronized { jobs = 0; stages = 0; gapMs = 0L; inJobMs = 0L; lastEnd = 0L }
+      println("[jobcount] === warmup done; counting run 2 ===")
+    }
     val t0 = System.nanoTime()
     val n = graft.Pipeline.runSynthetic(spark, cfg).canonicalTriples.count()
     val wall = (System.nanoTime() - t0) / 1e9
