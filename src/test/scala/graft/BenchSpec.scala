@@ -36,16 +36,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.nextExtra(0, 0, 671, 800, 400, 100).isEmpty)         // 671+130 > 800
   }
 
-  test("nextRung: escalates on E^1.6 extrapolation with 3.0 margin; stops at top") {
+  test("nextRung: escalates on E^1.6 extrapolation with 2.0 margin; stops at top") {
     val rungs = Seq(6250, 12500, 25000, 50000)
-    // doubling E predicts 2^1.6 ≈ 3.03× the pair cost, ×3.0 margin ≈ 9.09×
-    assert(Bench.nextRung(rungs, 0, elapsed = 100, budget = 1100, pairCost = 100))  // 100+909 < 1100
-    assert(!Bench.nextRung(rungs, 0, elapsed = 250, budget = 1100, pairCost = 100)) // 250+909 > 1100
+    // doubling E predicts 2^1.6 ≈ 3.03× the pair cost, ×2.0 margin ≈ 6.06×
+    assert(Bench.nextRung(rungs, 0, elapsed = 100, budget = 720, pairCost = 100))  // 100+606 < 720
+    assert(!Bench.nextRung(rungs, 0, elapsed = 150, budget = 720, pairCost = 100)) // 150+606 > 720
     // at the top rung there is nowhere to go regardless of budget
     assert(!Bench.nextRung(rungs, 3, elapsed = 0, budget = 1e9, pairCost = 1))
     // non-doubling step uses the actual ratio
-    assert(Bench.nextRung(Seq(10000, 15000), 0, 0, 500, pairCost = 80))   // 80×1.91×3.0 ≈ 459 < 500
-    assert(!Bench.nextRung(Seq(10000, 15000), 0, 50, 500, pairCost = 80)) // 509 > 500
+    assert(Bench.nextRung(Seq(10000, 15000), 0, 0, 500, pairCost = 80))   // 80×1.91×2.0 ≈ 306 < 500
+    assert(!Bench.nextRung(Seq(10000, 15000), 0, 200, 500, pairCost = 80)) // 506 > 500
+  }
+
+  test("bestEvidence: most samples per level wins; ties break to the larger rung") {
+    // a de-noised E/2 rung beats a samples_n=1 escalation
+    assert(Bench.bestEvidence(Seq((50000L, 3, 4), (100000L, 1, 2))) == 0)
+    // equal evidence → the larger rung ships
+    assert(Bench.bestEvidence(Seq((50000L, 1, 1), (100000L, 1, 1))) == 1)
+    assert(Bench.bestEvidence(Seq((50000L, 3, 4), (100000L, 3, 3))) == 1)
+    // a fully de-noised top rung always wins
+    assert(Bench.bestEvidence(Seq((50000L, 1, 1), (100000L, 3, 4))) == 1)
+    // single rung
+    assert(Bench.bestEvidence(Seq((50000L, 1, 1))) == 0)
   }
 
   test("kg_bench line carries both throughputs and the efficiency") {
