@@ -179,7 +179,10 @@ object TextQueries {
     // The signature frame (one short row per doc) feeds several
     // subtrees; without a persist the token-explode aggregation chain
     // is recomputed per subtree (exchange reuse does not apply: each
-    // consumer re-shards it differently).
+    // consumer re-shards it differently). No unpersist: the caller owns
+    // the returned frame's single action, and the cached rows are one
+    // short row per doc / per distinct signature — bytes bounded by the
+    // corpus row count, not its content.
     val sig = qSimhash(spark, dir).persist()
 
     // Near-dup corpora collapse to FAR fewer distinct signature VALUES

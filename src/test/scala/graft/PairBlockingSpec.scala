@@ -52,4 +52,36 @@ class PairBlockingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == naivePairs(bands))
   }
+
+  test("signature-value-level SimHash pairs equal the naive all-pairs Hamming scan") {
+    // near-dup clusters (identical + one-token-edited texts) so distinct
+    // signatures << docs — the regime the value-level plan exploits —
+    // plus unique-text docs for the no-pair case
+    val dir = java.nio.file.Files.createTempDirectory("simhash-docs").toString
+    val texts =
+      (0 until 12).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      (0 until 9).map(i => (100L + i, "alpha beta gamma delta zeta")) ++
+      (0 until 7).map(i => (200L + i, s"unique${i} words entirely different text $i")) ++
+      Seq((300L, "zz qq"), (301L, "zz qq rr"))
+    texts.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val got = TextQueries.qSimhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // naive oracle: all-pairs bit_count over the oracle-checked signatures
+    val sig = TextQueries.qSimhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = (for {
+      (d1, s1) <- sig; (d2, s2) <- sig
+      if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2).toLong
+      if h <= 2
+    } yield (d1, d2, h)).toSet
+
+    assert(got.size == naive.size, s"got ${got.size} vs naive ${naive.size}")
+    assert(got == naive,
+      s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+    // the dedup premise holds on this fixture: far fewer values than docs
+    assert(sig.map(_._2).distinct.length < sig.length / 2)
+  }
 }
