@@ -51,9 +51,16 @@ object TextQueries {
   // ---------- n-gram Jaccard near-dup ----------
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: consumed by the size aggregate and BOTH self-join
-    // sides — three recomputes of the explode+distinct chain otherwise.
-    val sh = shingles(spark, dir).persist()
+    // NOT persisted: the expensive part of `shingles` (scan → explode →
+    // the distinct's exchange) is shared across all three consumers by
+    // Catalyst's ReuseExchange — only the cheap post-shuffle dedup
+    // re-runs per consumer. Measured (TimeOne/NgramProbe, sf0.1 battery
+    // conditions): uncached 4.4 s / 837 user-jiffies vs 3.2 s + cache
+    // build for the persisted plan — and materializing a cache INSIDE a
+    // multi-branch join intermittently triggers a kernel-side mmap storm
+    // on this host (sysJ 26k-42k, 36-151 s walls in rehearsals 8/9's
+    // batteries). The cache bought nothing and carried a 15× tail risk.
+    val sh = shingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
     val a = sh.toDF("d1", "sh")
     val b = sh.toDF("d2", "sh")
@@ -116,10 +123,13 @@ object TextQueries {
     * boilerplate-text bucket at corpus scale) tiles across tasks instead
     * of stalling the stage on one straggler; the pair SET is exact. */
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // persisted for the same multi-consumer reason as qSimhashPairs:
-    // both band projections plus PairBlocking's bucket counts would
-    // each recompute the shingle→minhash aggregation chain.
-    val sig = qMinhashSig(spark, dir).persist()
+    // NOT persisted: the shingle→minhash aggregation chain's exchange is
+    // identical under every consumer (both band projections and
+    // PairBlocking's bucket counts), so ReuseExchange shares the heavy
+    // scan+explode+shuffle and only the 1-row-per-doc re-aggregation
+    // repeats — see qNgramJaccard for the measured cache pathology this
+    // avoids (rehearsal 9 billed this query 21.5 s with the persist).
+    val sig = qMinhashSig(spark, dir)
     val bands = sig.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
       .unionByName(sig.select(col("doc_id"), lit(1).as("band"), col("band1").as("key")))
     graft.candidates.PairBlocking.pairs(bands, cap = 4096).distinct()
@@ -177,13 +187,13 @@ object TextQueries {
     * and buckets shrink accordingly. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The signature frame (one short row per doc) feeds several
-    // subtrees; without a persist the token-explode aggregation chain
-    // is recomputed per subtree (exchange reuse does not apply: each
-    // consumer re-shards it differently). No unpersist: the caller owns
-    // the returned frame's single action, and the cached rows are one
-    // short row per doc / per distinct signature — bytes bounded by the
-    // corpus row count, not its content.
-    val sig = qSimhash(spark, dir).persist()
+    // subtrees, but its final aggregation exchange (hash on doc_id) is
+    // identical under every consumer, so ReuseExchange shares the
+    // token-explode chain and only the per-doc re-aggregation repeats.
+    // NOT persisted: materializing a cache inside a multi-branch join
+    // intermittently triggers this host's kernel mmap storm — measured
+    // in NgramProbe; see qNgramJaccard.
+    val sig = qSimhash(spark, dir)
 
     // Near-dup corpora collapse to FAR fewer distinct signature VALUES
     // than docs (that is the point of SimHash), so the banded Hamming
@@ -193,7 +203,7 @@ object TextQueries {
     // At 2^b possible signatures the value table is bounded a priori;
     // at production widths (64+ bits) it is bounded by the corpus's
     // near-dup structure instead, which is exactly when this plan wins.
-    val vals = sig.select(col("simhash").as("s")).distinct().persist()
+    val vals = sig.select(col("simhash").as("s")).distinct()
     val bands = vals
       .select(col("s"), explode(expr("sequence(0, 3)")).as("j"))
       .select(col("s").as("doc_id"), col("j").as("band"),

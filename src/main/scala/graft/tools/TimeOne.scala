@@ -2,20 +2,27 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Time ONE battery query exactly the way the Bench battery runs it
+/** Time battery queries exactly the way the Bench battery runs them
   * (same session shape, `.count()` materialization) — isolates a
   * per-query optimization from VerifyOne's coalesce(1) write artifact.
-  * args: queryName sfDir [reps]
+  * `names` may be a comma-separated sequence: all run IN ORDER in ONE
+  * session, which reproduces battery-context effects (accumulated
+  * persisted blocks, shared kg fixture, codegen/JIT state) that a
+  * standalone run can't see.
+  * args: name[,name...] sfDir [reps]   (reps repeats the whole sequence)
+  * env:  SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PARTS (default
+  *       cpus — Bench's battery uses cpus*2; pass it to match exactly)
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val sfDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.local.dir", "/dev/shm/spark-graft")
       .config("spark.io.compression.lz4.blockSize", "512k")
       .config("spark.shuffle.file.buffer", "1m")
@@ -23,12 +30,14 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"TIMEONE $name rep=$i rows=$n sec=$sec%.3f")
+      names.foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"TIMEONE $name rep=$i rows=$n sec=$sec%.3f")
+      }
     }
     spark.stop()
   }
