@@ -318,17 +318,24 @@ object Pipeline {
     val comps = ConnectedComponents.runAuto(spark, acceptedEdges)
 
     // ---- stage 6: materialize canonical (subj, pred, obj) ----
-    val canonMap = comps.select(col("node").as("id"), col("component").as("canon"))
+    // Each dimension (canonMap, names) joins TWICE — via aliases over
+    // the SAME un-projected plan, so the pair of broadcast exchanges
+    // canonicalizes identically and AQE builds each broadcast ONCE
+    // instead of twice (a duplicate exchange costs a job + ~0.5 s of
+    // driver planning gap on the bench VM — tools/JobCount; the serial
+    // floor that Amdahl-caps small-rung N-vs-4N scaling)
+    val canonMap = comps.select(col("node"), col("component"))
     val names = graft.util.BoundedProbe.dimHint(
       ents.toDF().select(col("id"), col("name")), dimsBounded)
-    val t = idTriples.toDF()
-      .join(canonMap.withColumnRenamed("id", "head").withColumnRenamed("canon", "subjId"), Seq("head"), "left")
-      .join(canonMap.withColumnRenamed("id", "tail").withColumnRenamed("canon", "objId"), Seq("tail"), "left")
-      .withColumn("subjId", coalesce(col("subjId"), col("head")))
-      .withColumn("objId", coalesce(col("objId"), col("tail")))
-      .join(names.withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
-      .join(names.withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
-      .select(col("subj"), concat(lit("rel_"), col("rel")).as("pred"), col("obj"),
+    val t = idTriples.toDF().as("t")
+      .join(canonMap.as("ch"), col("t.head") === col("ch.node"), "left")
+      .join(canonMap.as("ct"), col("t.tail") === col("ct.node"), "left")
+      .withColumn("subjId", coalesce(col("ch.component"), col("t.head")))
+      .withColumn("objId", coalesce(col("ct.component"), col("t.tail")))
+      .join(names.as("ns"), col("subjId") === col("ns.id"))
+      .join(names.as("no"), col("objId") === col("no.id"))
+      .select(col("ns.name").as("subj"), concat(lit("rel_"), col("t.rel")).as("pred"),
+        col("no.name").as("obj"),
         col("subjId"), col("objId"), pmod(col("subjId"), lit(16)).as("bucket"))
     val canonical = cfg.checkpointDir match {
       case Some(dir) =>

@@ -119,12 +119,19 @@ object Extraction {
   def idTriplesP(spark: SparkSession, raw: Dataset[RawTriple], ents: Dataset[Entity],
                  boundedDims: Boolean = true): Dataset[DocTriple] = {
     import spark.implicits._
+    // Both dictionary joins consume the SAME un-projected plan via
+    // aliases (renames go AFTER the join): the two broadcast-exchange
+    // children then canonicalize identically and AQE's stage cache
+    // builds ONE broadcast instead of two — each duplicate exchange
+    // costs a scheduled job plus ~0.5-0.9 s of driver planning gap on
+    // the bench VM (tools/JobCount), pure serial floor at small rungs.
     val e = graft.util.BoundedProbe.dimHint(ents.toDF(), boundedDims)
-    raw.toDF()
-      .join(e.select(col("name").as("subj"), col("kg"), col("id").as("head")), Seq("subj", "kg"))
-      .join(e.select(col("name").as("obj"), col("kg"), col("id").as("tail")), Seq("obj", "kg"))
-      .select(col("docId"),
-        col("head"), regexp_extract(col("pred"), "rel_(\\d+)", 1).cast("long").as("rel"), col("tail"))
+    raw.toDF().as("r")
+      .join(e.as("es"), col("r.subj") === col("es.name") && col("r.kg") === col("es.kg"))
+      .join(e.as("eo"), col("r.obj") === col("eo.name") && col("r.kg") === col("eo.kg"))
+      .select(col("r.docId").as("docId"), col("es.id").as("head"),
+        regexp_extract(col("r.pred"), "rel_(\\d+)", 1).cast("long").as("rel"),
+        col("eo.id").as("tail"))
       .as[DocTriple]
   }
 

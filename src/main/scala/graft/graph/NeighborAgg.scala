@@ -91,10 +91,15 @@ object NeighborAgg {
                        limit: Int = Dims.NeighborSize - 1,
                        boundedDims: Boolean = true): Dataset[(Long, Seq[(String, Long)])] = {
     import spark.implicits._
+    // same un-renamed (id, name) plan as undirectedEdges' neighbor-name
+    // join: the two broadcast exchanges canonicalize identically, so one
+    // query materializing both joins builds the broadcast ONCE (AQE
+    // stage cache) — renames live in the join condition, not under the
+    // exchange, where they would fork it into two builds
     val centerNames = graft.util.BoundedProbe.dimHint(
-      ents.toDF().select(col("id").as("center"), col("name").as("centerName")), boundedDims)
-    val filtered = edges.toDF().join(centerNames, Seq("center"))
-      .filter(col("neighbor") =!= col("centerName"))
+      ents.toDF().select(col("id"), col("name")), boundedDims)
+    val filtered = edges.toDF().join(centerNames, col("center") === col("id"))
+      .filter(col("neighbor") =!= col("name"))
       .select(col("center"), col("neighbor"), col("neighborId"), col("seq"))
       .as[Edge]
     filtered.groupByKey(_.center)

@@ -30,13 +30,32 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_JOBLOG=1: per-query job/stage counts and between-job
+    // gap sums — the structural cost that degraded host windows multiply
+    // (each job pays 0.1-5 s of driver latency depending on the window)
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var gapMs = 0L
+    @volatile var lastEnd = 0L
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          synchronized { jobs += 1; if (lastEnd > 0) gapMs += math.max(0L, j.time - lastEnd) }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          synchronized { lastEnd = math.max(lastEnd, j.time) }
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          synchronized { stages += 1 }
+      })
     (1 to reps).foreach { i =>
       names.foreach { name =>
         val fn = graft.SparkEntry.queries(name)
+        val (j0, s0, g0) = (jobs, stages, gapMs)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"TIMEONE $name rep=$i rows=$n sec=$sec%.3f")
+        val jInfo = if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
+          f" jobs=${jobs - j0} stages=${stages - s0} gaps=${(gapMs - g0) / 1000.0}%.1f" else ""
+        println(f"TIMEONE $name rep=$i rows=$n sec=$sec%.3f$jInfo")
       }
     }
     spark.stop()
