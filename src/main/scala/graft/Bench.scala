@@ -205,10 +205,13 @@ object Bench {
   /** Which level to sample next, given the extra samples already taken
     * (beyond the mandatory first pair) and the budget. Returns
     * Some(true)=4N, Some(false)=N, None=stop. Priority alternates
-    * 4N, N, 4N, N, 4N — capped at 3 extra 4N + 2 extra N (the minimum
-    * estimator only improves with samples, so leftover budget keeps
-    * de-noising; a 0.715 reading in a serialized-allocator hour stopped
-    * at the old 2+1 caps with 263 s of budget stranded). The 4N level
+    * 4N, N, 4N, N, 4N, then N, N and 4N up to caps of 6 extra 4N +
+    * 4 extra N (the minimum estimator only improves with samples, so
+    * leftover budget keeps de-noising: a 0.715 reading in a
+    * serialized-allocator hour stopped at the old 2+1 caps with 263 s
+    * stranded, and rehearsal 10 hit the 3+2 caps with 221 s stranded —
+    * one more N sample was the difference between a 0.773 and a ≥0.8
+    * tail in that window). The 4N level
     * leads because (a) it costs ~4× less wall, and (b) a noise-inflated
     * 4N sample UNDERSTATES the speedup (round 3's one-sample run read
     * 0.587 off a 4N sample 2× its repeat cost), so de-noising the
@@ -226,6 +229,8 @@ object Bench {
     else if (extra4N < 2 && fits4N) Some(true)
     else if (extraN < 2 && fitsN) Some(false)
     else if (extra4N < 3 && fits4N) Some(true)
+    else if (extraN < 4 && fitsN) Some(false)
+    else if (extra4N < 6 && fits4N) Some(true)
     else None
   }
 

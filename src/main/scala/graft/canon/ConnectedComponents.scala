@@ -210,7 +210,8 @@ object ConnectedComponents {
     import spark.implicits._
     val normed = edges.select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a") =!= col("b"))
-    val local = normed.limit(driverCap + 1).as[(Long, Long)].collect()
+    val local = graft.util.BoundedCollect.limitCollect(
+      normed.as[(Long, Long)], driverCap + 1)
     if (local.length > driverCap) run(spark, edges, maxIter)
     else if (local.isEmpty) spark.emptyDataset[(Long, Long)].toDF("node", "component")
     else spark.createDataFrame(localCC(local).toSeq).toDF("node", "component")
@@ -273,8 +274,9 @@ object ConnectedComponents {
     val rawDiff = (df: DataFrame, add: Boolean) => df
       .select(col("a").cast("long"), col("b").cast("long"), lit(add).as("add"))
       .filter(col("a") =!= col("b"))
-    val diffArr = rawDiff(added0, true).unionByName(rawDiff(removed0, false))
-      .limit(driverCap + 1).as[(Long, Long, Boolean)].collect()
+    val diffArr = graft.util.BoundedCollect.limitCollect(
+      rawDiff(added0, true).unionByName(rawDiff(removed0, false))
+        .as[(Long, Long, Boolean)], driverCap + 1)
     if (diffArr.length <= driverCap && diffArr.length <= 100000) {
       // normalize + dedup driver-side (the distributed path's norm())
       val addedSet = diffArr.iterator.filter(_._3).map(t => normPair(t._1, t._2)).toSet
@@ -289,17 +291,18 @@ object ConnectedComponents {
       val touchedComps = priorT.filter(r => bcEndp.value.contains(r._1))
         .map(_._2).collect().toSet
       val bcComps = spark.sparkContext.broadcast(touchedComps)
-      val membersArr = priorT.filter(r => bcComps.value.contains(r._2))
-        .limit(driverCap + 1).collect()
+      val membersArr = graft.util.BoundedCollect.limitCollect(
+        priorT.filter(r => bcComps.value.contains(r._2)), driverCap + 1)
       val memberNodes = membersArr.iterator.map(_._1).toSet
       val bcMembers = spark.sparkContext.broadcast(memberNodes)
       // no norm() here: its closing distinct() is an O(corpus) shuffle —
       // the member filter runs narrow and the dedup happens driver-side
-      val committedArr = edgesTable
-        .select(col("a").cast("long"), col("b").cast("long"))
-        .filter(col("a") =!= col("b")).as[(Long, Long)]
-        .filter(e => bcMembers.value.contains(e._1) || bcMembers.value.contains(e._2))
-        .limit(driverCap + 1).collect()
+      val committedArr = graft.util.BoundedCollect.limitCollect(
+        edgesTable
+          .select(col("a").cast("long"), col("b").cast("long"))
+          .filter(col("a") =!= col("b")).as[(Long, Long)]
+          .filter(e => bcMembers.value.contains(e._1) || bcMembers.value.contains(e._2)),
+        driverCap + 1)
       if (membersArr.length <= driverCap && committedArr.length <= driverCap) {
         // committedArr is member-incident by construction; added edges are
         // endpoint-incident — together exactly the distributed semi-join set

@@ -37,10 +37,19 @@ object TimeOne {
     @volatile var stages = 0
     @volatile var gapMs = 0L
     @volatile var lastEnd = 0L
-    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
+    val jobLog = sys.env.getOrElse("SPARK_GRAFT_JOBLOG", "0")
+    if (jobLog != "0")
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          synchronized { jobs += 1; if (lastEnd > 0) gapMs += math.max(0L, j.time - lastEnd) }
+          synchronized {
+            jobs += 1; if (lastEnd > 0) gapMs += math.max(0L, j.time - lastEnd)
+            if (jobLog == "2") {
+              val site = j.stageInfos.lastOption.map(_.name.take(70)).getOrElse("?")
+              val desc = Option(j.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("-")
+              println(f"[job] #${j.jobId}%3d stages=${j.stageInfos.size}%2d $desc%-46s $site")
+            }
+          }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           synchronized { lastEnd = math.max(lastEnd, j.time) }
         override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =

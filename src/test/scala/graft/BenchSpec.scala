@@ -20,13 +20,21 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("nextExtra: priority 4N, N, 4N, N, 4N — each budget-gated, caps respected") {
-    // plenty of budget: full alternating sequence then stop
+    // plenty of budget: full alternating sequence, then the N/4N tail
+    // up to the 4-extra-N + 6-extra-4N caps, then stop
     assert(Bench.nextExtra(0, 0, 100, 2000, 400, 100).contains(true))
     assert(Bench.nextExtra(0, 1, 200, 2000, 400, 100).contains(false))
     assert(Bench.nextExtra(1, 1, 600, 2000, 400, 100).contains(true))
     assert(Bench.nextExtra(1, 2, 700, 2000, 400, 100).contains(false))
     assert(Bench.nextExtra(2, 2, 900, 2000, 400, 100).contains(true))
-    assert(Bench.nextExtra(2, 3, 1000, 2000, 400, 100).isEmpty)
+    assert(Bench.nextExtra(2, 3, 1000, 2000, 400, 100).contains(false))
+    assert(Bench.nextExtra(3, 3, 1000, 2000, 400, 100).contains(false))
+    assert(Bench.nextExtra(4, 3, 1000, 2000, 400, 100).contains(true))
+    assert(Bench.nextExtra(4, 5, 1000, 2000, 400, 100).contains(true))
+    assert(Bench.nextExtra(4, 6, 1000, 2000, 400, 100).isEmpty)
+    // stranded-budget regression (rehearsal 10): at the old 3+2 caps the
+    // run stopped with 221 s left; now the leftover buys N samples
+    assert(Bench.nextExtra(2, 3, 559, 780, 50, 16).contains(false))
     // tight budget: the expensive N is skipped but the cheap 4N still runs
     assert(Bench.nextExtra(0, 1, 600, 800, 400, 100).contains(true))
     // no budget at all: stop immediately
