@@ -225,18 +225,26 @@ object IncrementalAlign {
   private def materialize(spark: SparkSession, triples: Dataset[DocTriple],
                           assignment: DataFrame, ents: Dataset[Entity],
                           boundedDims: Boolean = true): DataFrame = {
+    // renames live in the join CONDITION (aliases over the same
+    // un-projected plan) so each dimension's pair of broadcast exchanges
+    // canonicalizes identically and AQE builds it once — the Pipeline
+    // stage-6 discipline (one broadcast of a multi-GB dictionary at the
+    // design point, and one fewer scheduled job per duplicate here)
     val canonMap = assignment.select(col("node"), col("component"))
     val names = graft.util.BoundedProbe.dimHint(
       ents.toDF().select(col("id"), col("name")), boundedDims)
-    triples.toDF()
-      .join(canonMap.withColumnRenamed("node", "head").withColumnRenamed("component", "subjId"), Seq("head"), "left")
-      .join(canonMap.withColumnRenamed("node", "tail").withColumnRenamed("component", "objId"), Seq("tail"), "left")
-      .withColumn("subjId", coalesce(col("subjId"), col("head")))
-      .withColumn("objId", coalesce(col("objId"), col("tail")))
-      .join(names.withColumnRenamed("id", "subjId").withColumnRenamed("name", "subj"), Seq("subjId"))
-      .join(names.withColumnRenamed("id", "objId").withColumnRenamed("name", "obj"), Seq("objId"))
-      .select(col("docId"), col("head"), col("rel"), col("tail"), col("subj"),
-        concat(lit("rel_"), col("rel")).as("pred"), col("obj"),
+    triples.toDF().as("t")
+      .join(canonMap.as("ch"), col("t.head") === col("ch.node"), "left")
+      .join(canonMap.as("ct"), col("t.tail") === col("ct.node"), "left")
+      .withColumn("subjId", coalesce(col("ch.component"), col("t.head")))
+      .withColumn("objId", coalesce(col("ct.component"), col("t.tail")))
+      .join(names.as("ns"), col("subjId") === col("ns.id"))
+      .join(names.as("no"), col("objId") === col("no.id"))
+      .select(col("t.docId").as("docId"), col("t.head").as("head"),
+        col("t.rel").as("rel"), col("t.tail").as("tail"),
+        col("ns.name").as("subj"),
+        concat(lit("rel_"), col("t.rel")).as("pred"),
+        col("no.name").as("obj"),
         col("subjId"), col("objId"))
   }
 
@@ -642,9 +650,11 @@ object IncrementalAlign {
         val bcDrop = sc.broadcast(droppedDocIds)
         state.canonical.filter(r => !bcDrop.value.contains(r.getAs[String]("docId")))
       }
-    val keep = keep0
-      .join(chDf.withColumnRenamed("node", "head"), Seq("head"), "left_anti")
-      .join(chDf.withColumnRenamed("node", "tail"), Seq("tail"), "left_anti")
+    // same shared-exchange discipline: both anti-joins reference the
+    // bare chDf plan so its broadcast builds once
+    val keep = keep0.as("k")
+      .join(chDf.as("c1"), col("k.head") === col("c1.node"), "left_anti")
+      .join(chDf.as("c2"), col("k.tail") === col("c2.node"), "left_anti")
     val bcNewDocs = sc.broadcast(newDocIds)
     val relabel = triplesU
       .filter(t => bcChangedNodes.value.contains(t.head) ||

@@ -122,6 +122,10 @@ object TextQueries {
     * enumeration goes through PairBlocking so a hot band key (e.g. the
     * boilerplate-text bucket at corpus scale) tiles across tasks instead
     * of stalling the stage on one straggler; the pair SET is exact. */
+  private def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"), col("band1").as("key")))
+
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // NOT persisted: the shingle→minhash aggregation chain's exchange is
     // identical under every consumer (both band projections and
@@ -129,9 +133,7 @@ object TextQueries {
     // scan+explode+shuffle and only the 1-row-per-doc re-aggregation
     // repeats — see qNgramJaccard for the measured cache pathology this
     // avoids (rehearsal 9 billed this query 21.5 s with the persist).
-    val sig = qMinhashSig(spark, dir)
-    val bands = sig.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
-      .unionByName(sig.select(col("doc_id"), lit(1).as("band"), col("band1").as("key")))
+    val bands = minhashBands(qMinhashSig(spark, dir))
     graft.candidates.PairBlocking.pairs(bands, cap = 4096).distinct()
   }
 
@@ -141,6 +143,24 @@ object TextQueries {
                  UNION ALL SELECT doc_id, 1, band1 FROM sig)
        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+  /** CONTINUOUS-ingest twin of qMinhashPairs: the corpus arrives as
+    * three delta batches folded through [[graft.dedup.IncrementalDedup]]
+    * (maintained band index; per-batch work = within-delta PairBlocking
+    * + a delta-broadcast probe of the committed index). The accumulated
+    * pair set is proven row-identical to the one-shot batch operator by
+    * the SHARED oracle (qMinhashPairsSql) — a hash-matched gate that the
+    * incremental fold loses nothing. */
+  def qMinhashPairsInc(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(qMinhashSig(spark, dir))
+    // deterministic 3-way batch split (shingled doc_ids are multiples
+    // of 10, so DIV 10 is the dense doc index)
+    def batch(i: Int) = bands.filter(pmod(expr("doc_id DIV 10"), lit(3)) === i)
+    val s1 = graft.dedup.IncrementalDedup.initial(spark, batch(0))
+    val (s2, _) = graft.dedup.IncrementalDedup.delta(spark, s1, batch(1))
+    val (s3, _) = graft.dedup.IncrementalDedup.delta(spark, s2, batch(2))
+    s3.pairs.select(col("d1"), col("d2"))
+  }
 
   // ---------- SimHash (16-bit, word tokens) ----------
 
@@ -308,6 +328,7 @@ object TextQueries {
     "q_ngram_jaccard" -> (qNgramJaccard _, qNgramJaccardSql),
     "q_minhash_sig" -> (qMinhashSig _, qMinhashSigSql),
     "q_minhash_pairs" -> (qMinhashPairs _, qMinhashPairsSql),
+    "q_minhash_pairs_inc" -> (qMinhashPairsInc _, qMinhashPairsSql),
     "q_simhash" -> (qSimhash _, qSimhashSql),
     "q_simhash_pairs" -> (qSimhashPairs _, qSimhashPairsSql),
     "q_token_count" -> (qTokenCount _, qTokenCountSql),

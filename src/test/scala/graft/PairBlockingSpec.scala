@@ -84,4 +84,57 @@ class PairBlockingSpec extends SparkTestBase {
     // the dedup premise holds on this fixture: far fewer values than docs
     assert(sig.map(_._2).distinct.length < sig.length / 2)
   }
+
+  // ---------- IncrementalDedup: continuous MinHash-LSH dedup ----------
+
+  private def skewedBands(ids: Range): Seq[(Long, Int, Long)] =
+    // every doc shares band-0 key 7 in blocks of 30 (hot-ish buckets) and
+    // band-1 keys scatter — both within- and cross-batch pairs exist
+    ids.map(d => (d.toLong, 0, (d / 30).toLong)) ++
+      ids.map(d => (d.toLong, 1, (d % 11).toLong))
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IncrementalDedup: folding delta over any batch split equals the batch operator") {
+    import graft.dedup.IncrementalDedup
+    val all = skewedBands(0 until 120)
+    val batchPairs = pairSet(
+      graft.candidates.PairBlocking.pairs(all.toDF("doc_id", "band", "key"), cap = 8).distinct())
+    // 3-batch fold (uneven splits on purpose)
+    val b = Seq(0 until 50, 50 until 55, 55 until 120).map(r => skewedBands(r).toDF("doc_id", "band", "key"))
+    val s1 = IncrementalDedup.initial(spark, b(0), cap = 8)
+    val (s2, new2) = IncrementalDedup.delta(spark, s1, b(1), cap = 8)
+    val (s3, new3) = IncrementalDedup.delta(spark, s2, b(2), cap = 8)
+    assert(pairSet(s3.pairs) == batchPairs)
+    // each batch's new pairs touch at least one of its docs and are
+    // disjoint from the committed set
+    val ids2 = (50L until 55L).toSet
+    assert(pairSet(new2).forall(p => ids2.contains(p._1) || ids2.contains(p._2)))
+    assert((pairSet(new2) ++ pairSet(new3)) ++ pairSet(s1.pairs) == batchPairs)
+    assert(pairSet(new2).intersect(pairSet(s1.pairs)).isEmpty)
+  }
+
+  test("IncrementalDedup: retract inverts delta") {
+    import graft.dedup.IncrementalDedup
+    val b1 = skewedBands(0 until 60).toDF("doc_id", "band", "key")
+    val b2 = skewedBands(60 until 90).toDF("doc_id", "band", "key")
+    val s1 = IncrementalDedup.initial(spark, b1, cap = 8)
+    val (s2, _) = IncrementalDedup.delta(spark, s1, b2, cap = 8)
+    val back = IncrementalDedup.retract(spark, s2, (60L until 90L).toSet)
+    assert(pairSet(back.pairs) == pairSet(s1.pairs))
+    assert(back.bands.count() == s1.bands.count())
+  }
+
+  test("IncrementalDedup: pair set invariant under input partitioning") {
+    import graft.dedup.IncrementalDedup
+    def fold(parts: Int): Set[(Long, Long)] = {
+      val b1 = skewedBands(0 until 70).toDF("doc_id", "band", "key").repartition(parts)
+      val b2 = skewedBands(70 until 100).toDF("doc_id", "band", "key").repartition(parts)
+      val (s2, _) = IncrementalDedup.delta(spark, IncrementalDedup.initial(spark, b1, cap = 8), b2, cap = 8)
+      pairSet(s2.pairs)
+    }
+    assert(fold(1) == fold(7))
+  }
 }
