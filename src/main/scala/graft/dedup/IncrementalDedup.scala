@@ -43,6 +43,16 @@ object IncrementalDedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK)
 
+  /** Zero-batch state: a [[delta]] over it IS the bootstrap (cross
+    * pairs against an empty index vanish, leaving exactly
+    * [[initial]]'s within-batch enumeration) — the natural seed for
+    * the streaming composition. */
+  def emptyState(spark: SparkSession): DedupState = {
+    import spark.implicits._
+    DedupState(Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "key"),
+      Seq.empty[(Long, Long)].toDF("d1", "d2"))
+  }
+
   /** Bootstrap from the first batch's bands (doc_id, band, key). */
   def initial(spark: SparkSession, bands: DataFrame, cap: Int = 4096): DedupState =
     DedupState(cut(bands.select(col("doc_id"), col("band"), col("key"))),

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Streaming exact deduplication — the continuous-ingest twin of the
   * batch hash-groupBy dedup (TextQueries.qDedupExact): documents
@@ -46,6 +47,44 @@ object StreamingDedup {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
       .select(col("doc_id"), col("ts"), col("text"))
+  }
+
+  /** Live handle on the maintained LSH dedup state (safe to read
+    * between micro-batches). */
+  final class LshHandle private[StreamingDedup] (
+      ref: java.util.concurrent.atomic.AtomicReference[graft.dedup.IncrementalDedup.DedupState]) {
+    def state: graft.dedup.IncrementalDedup.DedupState = ref.get()
+    private[StreamingDedup] def set(s: graft.dedup.IncrementalDedup.DedupState): Unit = ref.set(s)
+  }
+
+  /** NEAR-dup streaming composition: a stream of banded signature rows
+    * (doc_id, band, key) drives [[graft.dedup.IncrementalDedup.delta]]
+    * once per micro-batch — the maintained index + accumulated pair set
+    * equal the one-shot batch operator after any batch prefix (the
+    * IncrementalDedup fold law, re-gated through the stream in
+    * StreamingSpec). Start from [[graft.dedup.IncrementalDedup.emptyState]]:
+    * a delta over the empty state IS the bootstrap. The foreachBatch
+    * body runs on the driver between micro-batches; the work inside
+    * `delta` is distributed exactly as in batch mode. */
+  def lshWriter(bands: DataFrame,
+                state0: graft.dedup.IncrementalDedup.DedupState,
+                cap: Int = 4096)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], LshHandle) = {
+    val handle = new LshHandle(
+      new java.util.concurrent.atomic.AtomicReference(state0))
+    val w = bands.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // pin the micro-batch rows — delta's actions must replay a
+          // local copy, not the consumed source epoch (StreamingKg
+          // discipline)
+          val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
+          val (next, _) = graft.dedup.IncrementalDedup.delta(spark, handle.state, rows, cap)
+          handle.set(next)
+        }
+    }
+    (w, handle)
   }
 
   /** Batch twin over the same files — one row per distinct text (the

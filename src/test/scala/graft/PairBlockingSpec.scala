@@ -137,4 +137,24 @@ class PairBlockingSpec extends SparkTestBase {
     }
     assert(fold(1) == fold(7))
   }
+
+  test("IncrementalDedup: streamed micro-batches equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = skewedBands(0 until 90)
+    val batchPairs = pairSet(
+      graft.candidates.PairBlocking.pairs(all.toDF("doc_id", "band", "key"), cap = 8).distinct())
+    val source = MemoryStream[(Long, Int, Long)]
+    val (writer, handle) = graft.streaming.StreamingDedup.lshWriter(
+      source.toDF().toDF("doc_id", "band", "key"),
+      graft.dedup.IncrementalDedup.emptyState(spark), cap = 8)
+    val q = writer.start()
+    try {
+      source.addData(skewedBands(0 until 40): _*); q.processAllAvailable()
+      source.addData(skewedBands(40 until 60): _*); q.processAllAvailable()
+      source.addData(skewedBands(60 until 90): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(pairSet(handle.state.pairs) == batchPairs)
+    assert(handle.state.bands.count() == all.size)
+  }
 }
