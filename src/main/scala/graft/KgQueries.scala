@@ -26,6 +26,14 @@ object KgQueries {
       val r = Pipeline.runSynthetic(s, tinyCfg)
       r.idTriples.persist(); r.entities.persist()
       r.alignment.persist(); r.canonicalTriples.persist()
+      // materialize each cache by a SINGLE-branch count now: a cold
+      // cache whose first materialization happens inside a later
+      // query's multi-branch join (canonicalTriples reads entities
+      // twice) is the measured mmap-storm shape on this host — see
+      // TextQueries.qNgramJaccard / BENCH.md "Battery-context cache
+      // pathology"
+      r.idTriples.count(); r.entities.count()
+      r.alignment.count(); r.canonicalTriples.count()
       r
     })
 
