@@ -259,6 +259,25 @@ object TextQueries {
                 FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
        SELECT d1, d2, hamming FROM cand WHERE hamming <= 2"""
 
+  /** CONTINUOUS-ingest twin of qSimhashPairs: the corpus arrives as
+    * three delta batches folded through
+    * [[graft.dedup.IncrementalSimhash]] (maintained banded signature
+    * index; per-batch work = within-delta PairBlocking + a
+    * delta-broadcast probe of the committed index; inline Hamming
+    * verification off the packed signature). The accumulated pair set
+    * is proven row-identical to the one-shot batch operator by the
+    * SHARED oracle (qSimhashPairsSql) — a hash-matched gate that the
+    * incremental fold loses nothing, pigeonhole banding being lossless
+    * across batch boundaries too. */
+  def qSimhashPairsInc(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qSimhash(spark, dir)
+    def batch(i: Int) = sig.filter(pmod(col("doc_id"), lit(3)) === i)
+    val s1 = graft.dedup.IncrementalSimhash.initial(spark, batch(0))
+    val (s2, _) = graft.dedup.IncrementalSimhash.delta(spark, s1, batch(1))
+    val (s3, _) = graft.dedup.IncrementalSimhash.delta(spark, s2, batch(2))
+    s3.pairs
+  }
+
   // ---------- token counting ----------
 
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -331,6 +350,7 @@ object TextQueries {
     "q_minhash_pairs_inc" -> (qMinhashPairsInc _, qMinhashPairsSql),
     "q_simhash" -> (qSimhash _, qSimhashSql),
     "q_simhash_pairs" -> (qSimhashPairs _, qSimhashPairsSql),
+    "q_simhash_pairs_inc" -> (qSimhashPairsInc _, qSimhashPairsSql),
     "q_token_count" -> (qTokenCount _, qTokenCountSql),
     "q_quality_score" -> (qQualityScore _, qQualityScoreSql),
     "q_lang_id" -> (qLangId _, qLangIdSql),

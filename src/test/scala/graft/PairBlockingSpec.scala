@@ -138,6 +138,58 @@ class PairBlockingSpec extends SparkTestBase {
     assert(fold(1) == fold(7))
   }
 
+  // ---------- IncrementalSimhash: continuous SimHash near-dup ----------
+
+  private def simhashDocsDir(): String = {
+    // near-dup clusters (identical + one-token edits) + unique docs:
+    // within- and cross-batch pairs exist under any mod-3 doc_id split
+    val dir = java.nio.file.Files.createTempDirectory("simhash-inc").toString
+    val texts =
+      (0 until 12).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      (0 until 9).map(i => (100L + i, "alpha beta gamma delta zeta")) ++
+      (0 until 7).map(i => (200L + i, s"unique${i} words entirely different text $i")) ++
+      Seq((300L, "zz qq"), (301L, "zz qq rr"))
+    texts.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def hamSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("d1", "d2", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("IncrementalSimhash: folding delta over a 3-batch split equals the batch operator") {
+    import graft.dedup.IncrementalSimhash
+    val dir = simhashDocsDir()
+    val batchPairs = hamSet(TextQueries.qSimhashPairs(spark, dir))
+    val sig = TextQueries.qSimhash(spark, dir)
+    def b(i: Int) = sig.filter(pmod($"doc_id", lit(3)) === i)
+    val s1 = IncrementalSimhash.initial(spark, b(0), cap = 8)
+    val (s2, new2) = IncrementalSimhash.delta(spark, s1, b(1), cap = 8)
+    val (s3, new3) = IncrementalSimhash.delta(spark, s2, b(2), cap = 8)
+    assert(hamSet(s3.pairs) == batchPairs)
+    assert(batchPairs.nonEmpty)
+    // per-batch new pairs are disjoint classes that tile the batch set
+    assert(hamSet(s1.pairs) ++ hamSet(new2) ++ hamSet(new3) == batchPairs)
+    assert(hamSet(new2).intersect(hamSet(s1.pairs)).isEmpty)
+    // each new2 pair touches at least one batch-1 doc
+    val ids1 = b(1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hamSet(new2).forall(p => ids1.contains(p._1) || ids1.contains(p._2)))
+  }
+
+  test("IncrementalSimhash: retract inverts delta") {
+    import graft.dedup.IncrementalSimhash
+    val dir = simhashDocsDir()
+    val sig = TextQueries.qSimhash(spark, dir)
+    val b1 = sig.filter($"doc_id" < 150)
+    val b2 = sig.filter($"doc_id" >= 150)
+    val ids2 = b2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = IncrementalSimhash.initial(spark, b1, cap = 8)
+    val (s2, _) = IncrementalSimhash.delta(spark, s1, b2, cap = 8)
+    val back = IncrementalSimhash.retract(spark, s2, ids2)
+    assert(hamSet(back.pairs) == hamSet(s1.pairs))
+    assert(back.bands.count() == s1.bands.count())
+  }
+
   test("IncrementalDedup: streamed micro-batches equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
