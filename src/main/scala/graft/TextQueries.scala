@@ -340,6 +340,80 @@ object TextQueries {
          (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
        FROM documents"""
 
+  // ---------- composed corpus-prep pipeline ----------
+
+  /** The training-data-prep pipeline a 100-TB corpus build runs as ONE
+    * query — language gate → quality gate → exact dedup → per-survivor
+    * features — composed from the battery's individually-proven stages
+    * (the data-pipeline analogue of `q_extract_rel`'s relational
+    * composition). Everything up to the dedup groupBy is a single
+    * narrow scan stage (filters evaluate per-row at the scan; no
+    * intermediate materialization), and the one shuffle in the plan is
+    * the dedup's hash-aggregate on `text` — the minimum any exact
+    * dedup needs. A shifted-id copy of the corpus is unioned in first
+    * so the dedup stage has real work (sf fixtures have distinct
+    * texts), mirroring `q_dedup_exact`. */
+  def qCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val both = d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val stopCnt = ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3).cast("long")
+    both
+      .filter(stopCnt * 20 >= nTok && nTok >= 20 && nTok <= 80) // lang + quality gates
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+      .select(col("keep_id"), col("n_dupes"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        expr("aggregate(split(text, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp"))
+  }
+
+  val qCorpusPrepSql =
+    """WITH all_docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       feat AS (
+         SELECT doc_id, text,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_stop,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+         FROM all_docs),
+       kept AS (SELECT * FROM feat WHERE n_stop * 20 >= n_tok AND n_tok BETWEEN 20 AND 80),
+       dedup AS (SELECT text, min(doc_id) AS keep_id, count(*) AS n_dupes FROM kept GROUP BY text)
+       SELECT keep_id, n_dupes,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+       FROM dedup"""
+
+  // ---------- deterministic stratified sampling ----------
+
+  /** Per-language quota sampling — the corpus-rebalancing primitive a
+    * training-data mix needs (downsample dominant languages, keep the
+    * tail). DETERMINISTIC: the sampling key is the content's
+    * polynomial hash mod 100, so the sample is reproducible across
+    * runs, engines and partitionings (and portable to the DuckDB
+    * oracle — no engine-private rand()). Map-only: a per-row filter at
+    * the scan, no shuffle, so at 100 TB it composes into whatever
+    * stage reads the corpus for free. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val key = pmod(expr("aggregate(split(text, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"), lit(100L))
+    val quota = when(col("lang") === "en", 60L)
+      .when(col("lang") === "zh", 30L).otherwise(15L)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), key.as("samp_key"))
+      .filter(col("samp_key") < quota)
+  }
+
+  val qStratifiedSampleSql =
+    """WITH keyed AS (
+         SELECT doc_id, lang,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS samp_key
+         FROM documents)
+       SELECT doc_id, lang, samp_key FROM keyed
+       WHERE samp_key < CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 30 ELSE 15 END"""
+
   // ---------- registry ----------
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -354,5 +428,7 @@ object TextQueries {
     "q_token_count" -> (qTokenCount _, qTokenCountSql),
     "q_quality_score" -> (qQualityScore _, qQualityScoreSql),
     "q_lang_id" -> (qLangId _, qLangIdSql),
-    "q_fingerprint" -> (qFingerprint _, qFingerprintSql))
+    "q_fingerprint" -> (qFingerprint _, qFingerprintSql),
+    "q_corpus_prep" -> (qCorpusPrep _, qCorpusPrepSql),
+    "q_stratified_sample" -> (qStratifiedSample _, qStratifiedSampleSql))
 }

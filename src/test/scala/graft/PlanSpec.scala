@@ -42,6 +42,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("stratified sample is map-only: per-row filter at the scan, zero exchanges") {
+    val plan = planOf(TextQueries.qStratifiedSample(spark, dir))
+    assert(!plan.contains("Exchange"), s"sampling plan shuffles:\n$plan")
+    // only the consumed columns are read (text feeds the sampling key)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("corpus-prep composition pays exactly one shuffle (the dedup aggregate)") {
+    val plan = planOf(TextQueries.qCorpusPrep(spark, dir))
+    // lang/quality gates fuse into the scan stage; the only exchange is
+    // the exact dedup's hash-aggregate on text
+    val exchanges = "(?m)^[^\\n]*ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate dedup:\n$plan")
+  }
+
   test("span explode over a parquet doc table: codegen'd, nested schema pruned") {
     import spark.implicits._
     val docs = graft.ingest.DocSynthesizer.docs(spark, graft.ingest.SynthConfig(entitiesPerKg = 10))
