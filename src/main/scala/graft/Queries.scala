@@ -251,6 +251,29 @@ object Queries {
               ELSE CAST(32 AS BIGINT) END)) AS cp
        FROM customer"""
 
+  // ---------- TableIO range-clustered commit + manifest data skipping ----------
+
+  /** S-layer surface, driver-visible: commit the documents table
+    * range-clustered on doc_id (TableIO writes per-file [min,max]
+    * column stats into the manifest), then answer a range scan through
+    * [[graft.tableio.TableIO.readRange]] — file pruning happens on the
+    * DRIVER from the manifest alone (no footer reads, no listing job),
+    * the Iceberg manifest-stats planning step; the oracle proves the
+    * skipped files contained nothing the predicate wanted. */
+  def qTableRangeScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_rangescan").toString + "/docs"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.tableio.TableIO.commit(spark, d, base, "docs",
+      rangeClusterBy = Seq("doc_id"), rangeClusterParts = 8)
+    graft.tableio.TableIO.readRange(spark, base, "doc_id", BigDecimal(100), BigDecimal(300))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val qTableRangeScanSql =
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE doc_id BETWEEN 100 AND 300"""
+
   // ---------- composed extract_rel pipeline (extract_rel.py:14-67) ----------
 
   /** The reference's only purely relational pipeline, composed end-to-end
@@ -307,6 +330,7 @@ object Queries {
     "q_codepoint_tokens" -> (qCodepointTokens _, qCodepointTokensSql),
     "q_token_features" -> (qTokenFeatures _, qTokenFeaturesSql),
     "q_extract_rel" -> (qExtractRel _, qExtractRelSql),
+    "q_table_range_scan" -> (qTableRangeScan _, qTableRangeScanSql),
     "q_seeded_interleave" -> (qSeededInterleave _, qSeededInterleaveSql)) ++
     TextQueries.sqlChecked ++ EmbedQueries.sqlChecked ++ KgQueries.sqlChecked
 

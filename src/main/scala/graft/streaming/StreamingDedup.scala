@@ -87,6 +87,37 @@ object StreamingDedup {
     (w, handle)
   }
 
+  /** Live handle on the maintained SimHash dedup state. */
+  final class SimhashHandle private[StreamingDedup] (
+      ref: java.util.concurrent.atomic.AtomicReference[graft.dedup.IncrementalSimhash.SimhashState]) {
+    def state: graft.dedup.IncrementalSimhash.SimhashState = ref.get()
+    private[StreamingDedup] def set(s: graft.dedup.IncrementalSimhash.SimhashState): Unit = ref.set(s)
+  }
+
+  /** SimHash streaming composition: a stream of signature rows
+    * (doc_id, simhash) drives [[graft.dedup.IncrementalSimhash.delta]]
+    * once per micro-batch. Same contract as [[lshWriter]] — the
+    * maintained banded index + accumulated Hamming-≤2 pair set equal
+    * the one-shot batch operator after any batch prefix (pigeonhole
+    * banding is lossless across micro-batch boundaries too). */
+  def simhashWriter(sigs: DataFrame,
+                    state0: graft.dedup.IncrementalSimhash.SimhashState,
+                    cap: Int = 4096)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], SimhashHandle) = {
+    val handle = new SimhashHandle(
+      new java.util.concurrent.atomic.AtomicReference(state0))
+    val w = sigs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
+          val (next, _) = graft.dedup.IncrementalSimhash.delta(spark, handle.state, rows, cap)
+          handle.set(next)
+        }
+    }
+    (w, handle)
+  }
+
   /** Batch twin over the same files — one row per distinct text (the
     * first by event time, doc_id tie-break), for parity tests and for
     * re-resolving post-eviction re-emits over the committed table. */

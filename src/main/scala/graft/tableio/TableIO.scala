@@ -83,39 +83,86 @@ object TableIO {
     spark.read.parquet(s"$base/data/snap-$id")
   }
 
-  /** Per-file row counts of a committed data dir, read from parquet
-    * footers only — one entry per physical write partition. */
-  private def footerCounts(spark: SparkSession, dataPath: String): Map[String, Long] = {
+  /** Per-file row counts AND per-file numeric column ranges of a
+    * committed data dir, read from parquet footers only — one entry per
+    * physical write partition. Ranges cover INT32/INT64/FLOAT/DOUBLE
+    * columns whose every row group carries non-null min/max statistics;
+    * they feed the manifest's `col_stats` for metadata-driven file
+    * skipping ([[prunedFiles]]/[[readRange]]). */
+  private def footerCounts(spark: SparkSession, dataPath: String)
+      : (Map[String, Long], Map[String, Map[String, (BigDecimal, BigDecimal)]]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new HPath(dataPath)
     val fs = root.getFileSystem(conf)
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val stats = scala.collection.mutable.LinkedHashMap[String, Map[String, (BigDecimal, BigDecimal)]]()
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
         val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-        try out(root.toUri.relativize(f.getPath.toUri).toString) = rd.getRecordCount
-        finally rd.close()
+        try {
+          val rel = root.toUri.relativize(f.getPath.toUri).toString
+          out(rel) = rd.getRecordCount
+          val perCol = scala.collection.mutable.LinkedHashMap[String, (BigDecimal, BigDecimal)]()
+          val disabled = scala.collection.mutable.Set.empty[String]
+          rd.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { c =>
+              val name = c.getPath.toDotString
+              val tn = c.getPrimitiveType.getPrimitiveTypeName
+              val s = c.getStatistics
+              val ok = (tn == INT32 || tn == INT64 || tn == FLOAT || tn == DOUBLE) &&
+                s != null && !s.isEmpty && s.hasNonNullValue
+              if (ok) {
+                val (lo, hi) = (BigDecimal(s.genericGetMin.toString), BigDecimal(s.genericGetMax.toString))
+                perCol.get(name) match {
+                  case Some((l0, h0)) => perCol(name) = (l0.min(lo), h0.max(hi))
+                  case None           => perCol(name) = (lo, hi)
+                }
+              } else disabled += name // a statless/unsupported group disables the column
+            }
+          }
+          // a range is sound only if EVERY row group contributed to it
+          stats(rel) = perCol.filterNot { case (k, _) => disabled.contains(k) }.toMap
+        } finally rd.close()
       }
     }
-    out.toMap
+    (out.toMap, stats.toMap)
   }
 
   /** Commit df as the next snapshot of `base`. Returns the snapshot.
     * Data lands fully before the manifest is moved into place (atomic
     * rename of a complete temp file) — a killed job leaves either the
-    * previous snapshot or the new one, never a torn table. */
+    * previous snapshot or the new one, never a torn table.
+    *
+    * `rangeClusterBy` (Iceberg write sort-order parity): range-shuffle
+    * the rows on the given columns before writing, so each data file
+    * covers a DISJOINT slice of the key space and the manifest's
+    * col_stats make [[readRange]] skip all but the touched slice — the
+    * write-side half of metadata data skipping. Costs one range
+    * exchange at commit; buys every later range scan of the table. */
   def commit(spark: SparkSession, df: DataFrame, base: String, stage: String,
-             inputs: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Snapshot = {
+             inputs: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
+             rangeClusterBy: Seq[String] = Nil,
+             rangeClusterParts: Int = 0): Snapshot = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val next = latestSnapshotId(base).getOrElse(-1L) + 1
     val dataPath = s"$base/data/snap-$next"
     val t0 = System.nanoTime()
-    val writer = df.write.mode("overwrite")
+    // rangeClusterParts = 0 leaves the width to the session/AQE (which
+    // sizes output files toward maxPartitionBytes — the right default
+    // at scale); a positive value pins the file count
+    val clustered =
+      if (rangeClusterBy.isEmpty) df
+      else if (rangeClusterParts > 0)
+        df.repartitionByRange(rangeClusterParts, rangeClusterBy.map(col): _*)
+      else df.repartitionByRange(rangeClusterBy.map(col): _*)
+    val writer = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dataPath) // the ONLY action that computes df
-    val counts = footerCounts(spark, dataPath)
+    val (counts, colStats) = footerCounts(spark, dataPath)
     val rows = counts.values.sum
     val wallMs = (System.nanoTime() - t0) / 1000000
     // S8 metric sink: append-only per-commit metrics table
@@ -125,10 +172,19 @@ object TableIO {
     Files.createDirectories(metaDir(base))
     val lineage = counts.toSeq.sortBy(_._1)
       .map { case (p, n) => s"\"$p\":$n" }.mkString("{", ",", "}")
+    // per-file numeric column ranges → manifest-level data skipping
+    // (Iceberg manifest column stats). At catalog scale these live in
+    // avro manifest lists; JSON is this layer's stand-in.
+    val statsJson = colStats.toSeq.sortBy(_._1).map { case (p, cols) =>
+      val body = cols.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"\"$c\":[$lo,$hi]" }.mkString("{", ",", "}")
+      s"\"$p\":$body"
+    }.mkString("{", ",", "}")
     val json =
       s"""{"snapshot":$next,"stage":"${stage}","data":"${dataPath}","rows":$rows,
          |"inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],
          |"partition_rows":$lineage,
+         |"col_stats":$statsJson,
          |"partition_cols":[${partitionCols.map(c => "\"" + c + "\"").mkString(",")}]}""".stripMargin
     val tmp = metaDir(base).resolve(s".snapshot-$next.json.tmp")
     Files.writeString(tmp, json)
@@ -147,6 +203,59 @@ object TableIO {
   /** The append-only commit-metrics table of `base` (S8 sink). */
   def metrics(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/_metrics")
+
+  /** Manifest-driven file skipping: the data files of `base`'s latest
+    * snapshot whose committed [min,max] range on `column` intersects
+    * [lo, hi] — resolved ENTIRELY from the manifest (no footer reads,
+    * no file listing, no Spark job), the Iceberg manifest-stats plan
+    * step. Files without a committed range on `column` are kept
+    * (conservative: skipping is an optimization, never a filter).
+    * Returns (matching file paths, total file count). */
+  def prunedFiles(base: String, column: String, lo: BigDecimal, hi: BigDecimal)
+      : (Seq[String], Int) = {
+    val id = latestSnapshotId(base).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $base"))
+    val json = Files.readString(metaDir(base).resolve(s"snapshot-$id.json"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val dataPath = root.get("data").asText()
+    val statsNode = root.get("col_stats")
+    // partition_rows is the authoritative file inventory (present since
+    // round 1); col_stats may be absent on manifests committed before it
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val it = root.get("partition_rows").fieldNames()
+    while (it.hasNext) {
+      val file = it.next()
+      val range =
+        if (statsNode == null || statsNode.get(file) == null) null
+        else statsNode.get(file).get(column)
+      val keep = range == null ||
+        (BigDecimal(range.get(0).decimalValue()) <= hi &&
+         BigDecimal(range.get(1).decimalValue()) >= lo)
+      // lineage keys are full URIs when the file's URI isn't relative
+      // to the data root (partitioned dirs aside, the common case)
+      val path = if (file.startsWith("file:") || file.startsWith("hdfs:") ||
+        file.startsWith("s3:") || file.startsWith("/")) file else s"$dataPath/$file"
+      files += ((path, keep))
+    }
+    (files.collect { case (p, true) => p }.toSeq, files.size)
+  }
+
+  /** Range read with manifest data skipping: rows of the latest
+    * snapshot with `column` in [lo, hi], scanning ONLY the files whose
+    * committed stats admit the range (plus the exact row-level filter —
+    * stats prune files, the predicate prunes rows; equality with a full
+    * scan is gated in TableIOSpec). Parquet row-group/page stats then
+    * prune again inside each surviving file via the pushed filter. */
+  def readRange(spark: SparkSession, base: String, column: String,
+                lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (keep, _) = prunedFiles(base, column, lo, hi)
+    // decimal literals keep the row-level predicate exact for long
+    // columns beyond double precision
+    val pred = col(column) >= lit(lo.underlying()) && col(column) <= lit(hi.underlying())
+    if (keep.isEmpty) read(spark, base).filter(pred).limit(0)
+    else spark.read.parquet(keep: _*).filter(pred)
+  }
 
   /** Retention: expire all but the newest `keepLast` snapshots (Iceberg
     * `expire_snapshots` parity — an unbounded stream commits forever, so

@@ -190,6 +190,28 @@ class PairBlockingSpec extends SparkTestBase {
     assert(back.bands.count() == s1.bands.count())
   }
 
+  test("IncrementalSimhash: streamed micro-batches equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = simhashDocsDir()
+    val batchPairs = hamSet(TextQueries.qSimhashPairs(spark, dir))
+    val sig = TextQueries.qSimhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val source = MemoryStream[(Long, Long)]
+    val (writer, handle) = graft.streaming.StreamingDedup.simhashWriter(
+      source.toDF().toDF("doc_id", "simhash"),
+      graft.dedup.IncrementalSimhash.emptyState(spark), cap = 8)
+    val q = writer.start()
+    try {
+      val sorted = sig.sortBy(_._1)
+      source.addData(sorted.take(10): _*); q.processAllAvailable()
+      source.addData(sorted.slice(10, 21): _*); q.processAllAvailable()
+      source.addData(sorted.drop(21): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(hamSet(handle.state.pairs) == batchPairs)
+    assert(handle.state.bands.count() == sig.length * 4L)
+  }
+
   test("IncrementalDedup: streamed micro-batches equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

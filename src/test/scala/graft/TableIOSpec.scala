@@ -26,6 +26,50 @@ class TableIOSpec extends SparkTestBase {
     assert(m.length == 1 && m.head.getAs[Long]("rows") == 100)
   }
 
+  test("manifest column stats: readRange skips files by committed ranges, result exact") {
+    val base = tmp()
+    // 8 range-disjoint files over id ∈ [0, 8000): stats land per file
+    val df = (0L until 8000L).map(i => (i, i % 97, s"v$i")).toDF("id", "k", "v")
+      .repartitionByRange(8, col("id"))
+    TableIO.commit(spark, df, base, "stats")
+    // manifest carries a numeric range for id and k in every file
+    val json = Files.readString(Path.of(base, "_meta", "snapshot-0.json"))
+    assert(json.contains("\"col_stats\""), json.take(400))
+    assert(json.contains("\"id\":["))
+    // a 1-file-wide range prunes most of the inventory — metadata only
+    val (keep, total) = TableIO.prunedFiles(base, "id", BigDecimal(100), BigDecimal(200))
+    assert(total == 8, s"expected 8 files, saw $total")
+    assert(keep.size <= 2, s"expected ≤2 surviving files, saw ${keep.size}")
+    // skipping is an optimization, never a filter: equality vs full scan
+    val got = TableIO.readRange(spark, base, "id", BigDecimal(100), BigDecimal(200))
+      .select("id", "k", "v").collect().map(_.toSeq).toSet
+    val want = TableIO.read(spark, base)
+      .filter(col("id") >= 100 && col("id") <= 200)
+      .select("id", "k", "v").collect().map(_.toSeq).toSet
+    assert(got == want && got.size == 101)
+    // a column with no committed stats (string) keeps every file
+    val (keepV, totalV) = TableIO.prunedFiles(base, "v", BigDecimal(0), BigDecimal(1))
+    assert(keepV.size == totalV)
+    // an out-of-range scan resolves to zero files and an empty result
+    val (keepZ, _) = TableIO.prunedFiles(base, "id", BigDecimal(100000), BigDecimal(200000))
+    assert(keepZ.isEmpty)
+    assert(TableIO.readRange(spark, base, "id", BigDecimal(100000), BigDecimal(200000)).count() == 0)
+  }
+
+  test("rangeClusterBy commit makes skipping effective on shuffled input") {
+    val base = tmp()
+    // hash-scrambled row order: without clustering every file would
+    // span ~the full id range and nothing could be skipped
+    val df = (0L until 8000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8, col("v"))
+    TableIO.commit(spark, df, base, "clustered",
+      rangeClusterBy = Seq("id"), rangeClusterParts = 8)
+    val (keep, total) = TableIO.prunedFiles(base, "id", BigDecimal(100), BigDecimal(200))
+    assert(total >= 2, s"expected a multi-file commit, saw $total")
+    assert(keep.size <= 2, s"clustered commit should skip, saw ${keep.size}/$total")
+    assert(TableIO.readRange(spark, base, "id", BigDecimal(100), BigDecimal(200)).count() == 101)
+  }
+
   test("commit computes the input DataFrame exactly once (single-pass lineage)") {
     val base = tmp()
     val acc = spark.sparkContext.longAccumulator("computeRuns")
