@@ -414,6 +414,72 @@ object TextQueries {
        SELECT doc_id, lang, samp_key FROM keyed
        WHERE samp_key < CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 30 ELSE 15 END"""
 
+  // ---------- near-dup RESOLUTION (pairs → clusters → survivors) ----------
+
+  /** The operation a dedup pipeline actually ships: candidate pairs are
+    * only evidence — the corpus decision is per-CLUSTER (transitive
+    * closure of the pair graph), keep one representative, drop the
+    * rest. Composes the battery's proven stages end-to-end: MinHash-LSH
+    * pairs (skew-tiled PairBlocking) → connected components
+    * ([[graft.canon.ConnectedComponents.runAuto]] — driver union-find
+    * at battery scale, the distributed star loop at 100 TB) → every
+    * shingle-eligible doc mapped to its canonical id (itself when it
+    * has no near-dups). `keep = 1` marks the survivor per cluster, so
+    * `filter(keep = 1)` IS the deduplicated corpus and the mapping rows
+    * are the lineage a takedown needs to find a dropped doc's survivor.
+    * Pair-graph CC is delta-friendly too: the continuous twin is
+    * [[graft.dedup.IncrementalDedup]] + `ConnectedComponents.maintain`. */
+  def qNeardupResolve(spark: SparkSession, dir: String): DataFrame = {
+    val edges = qMinhashPairs(spark, dir)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    val comp = graft.canon.ConnectedComponents.runAuto(spark, edges)
+    val domain = docs(spark, dir)
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 3)
+      .select(col("doc_id"))
+    domain.join(comp, domain("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canon_id"))
+      .withColumn("keep", (col("doc_id") === col("canon_id")).cast("long"))
+  }
+
+  val qNeardupResolveSql =
+    s"""WITH RECURSIVE pairs AS ($qMinhashPairsSql),
+       sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       reach AS (SELECT a AS node, b AS r FROM sym
+                 UNION SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+       comp AS (SELECT node, min(r) AS component FROM (
+                  SELECT node, r FROM reach UNION SELECT node, node FROM reach) GROUP BY node),
+       domain AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3)
+       SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canon_id,
+         CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM domain d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+  // ---------- vocabulary build (token document-frequency top-k) ----------
+
+  /** Tokenizer-training's first pass: corpus-wide token document
+    * frequency, top 100. The plan is the one a 100-TB vocab build
+    * wants: distinct (tok, doc) then one hash-aggregate shuffle on the
+    * token (both with map-side partials), and the top-k runs as
+    * TakeOrderedAndProject — per-partition bounded heaps merged on the
+    * driver, never a full sort. The order (df DESC, tf DESC, tok ASC)
+    * is total, so the LIMIT is deterministic across partitionings and
+    * engines. */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("tok"))
+      .limit(100)
+  }
+
+  val qVocabTopkSql =
+    """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+       FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+       WHERE length(tok) > 0
+       GROUP BY tok ORDER BY df DESC, tf DESC, tok LIMIT 100"""
+
   // ---------- registry ----------
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -430,5 +496,7 @@ object TextQueries {
     "q_lang_id" -> (qLangId _, qLangIdSql),
     "q_fingerprint" -> (qFingerprint _, qFingerprintSql),
     "q_corpus_prep" -> (qCorpusPrep _, qCorpusPrepSql),
-    "q_stratified_sample" -> (qStratifiedSample _, qStratifiedSampleSql))
+    "q_stratified_sample" -> (qStratifiedSample _, qStratifiedSampleSql),
+    "q_neardup_resolve" -> (qNeardupResolve _, qNeardupResolveSql),
+    "q_vocab_topk" -> (qVocabTopk _, qVocabTopkSql))
 }
