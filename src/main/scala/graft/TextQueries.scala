@@ -480,6 +480,59 @@ object TextQueries {
        WHERE length(tok) > 0
        GROUP BY tok ORDER BY df DESC, tf DESC, tok LIMIT 100"""
 
+  // ---------- relevance scoring (Okapi BM25) ----------
+
+  /** Okapi BM25 relevance of every document against a fixed query-term
+    * set — the scoring a retrieval-based quality filter or RAG corpus
+    * ranker runs corpus-wide. One pass over the token stream feeds
+    * three aggregates: per-doc length (shuffle on doc_id), per-(doc,
+    * term) tf for the query terms only (the `isin` filter prunes the
+    * stream BEFORE the shuffle, so the tf aggregate moves O(matching
+    * tokens), not the corpus), and term document-frequency derived from
+    * tf (tiny — broadcast). avgdl/N is a 1-row global aggregate,
+    * broadcast via crossJoin. At 100 TB: two hash aggregates with
+    * map-side partials plus broadcast-only joins on the scoring side;
+    * the doc-length join is co-partitioned with tf on doc_id. The
+    * arithmetic mirrors the DuckDB twin operation-for-operation
+    * (integer sums are exact; the single ln and the ≤|terms| float
+    * additions sit within the driver's float-rounding compare, like
+    * the cosine/jaccard queries). idf uses the +1 Okapi form, positive
+    * for any df. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * ((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", w)
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("bm25"))
+  }
+
+  val qBm25Sql =
+    """WITH t AS (SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+          WHERE length(tok) > 0),
+       dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+              WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok),
+       df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+       SELECT tf.doc_id,
+         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))) AS bm25
+       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id"""
+
   // ---------- registry ----------
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -498,5 +551,6 @@ object TextQueries {
     "q_corpus_prep" -> (qCorpusPrep _, qCorpusPrepSql),
     "q_stratified_sample" -> (qStratifiedSample _, qStratifiedSampleSql),
     "q_neardup_resolve" -> (qNeardupResolve _, qNeardupResolveSql),
-    "q_vocab_topk" -> (qVocabTopk _, qVocabTopkSql))
+    "q_vocab_topk" -> (qVocabTopk _, qVocabTopkSql),
+    "q_bm25" -> (qBm25 _, qBm25Sql))
 }

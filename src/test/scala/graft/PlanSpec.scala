@@ -50,6 +50,26 @@ class PlanSpec extends SparkTestBase {
       s"columns not pruned:\n$plan")
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject, never a full sort") {
+    val plan = planOf(TextQueries.qVocabTopk(spark, dir))
+    // per-partition bounded heaps merged on the driver — a global
+    // Sort+Limit materializes the whole token-frequency table at 100 TB
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("bm25 broadcasts the df/stats dims and prunes the doc scan") {
+    val plan = planOf(TextQueries.qBm25(spark, dir))
+    // the term-df and global-avgdl frames are tiny: both must broadcast
+    // (a shuffle join on either would shuffle the corpus-sized tf side
+    // twice); the scan reads only the two consumed columns
+    assert("BroadcastExchange|BroadcastNestedLoopJoin".r.findAllIn(plan).nonEmpty,
+      s"expected broadcast dims:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
   test("corpus-prep composition pays exactly one shuffle (the dedup aggregate)") {
     val plan = planOf(TextQueries.qCorpusPrep(spark, dir))
     // lang/quality gates fuse into the scan stage; the only exchange is
