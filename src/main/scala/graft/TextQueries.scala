@@ -533,6 +533,38 @@ object TextQueries {
        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
        GROUP BY tf.doc_id"""
 
+  // ---------- corpus profiling (per-language stats + exact quantiles) ----------
+
+  /** Per-language corpus profile — the first query run against any new
+    * crawl snapshot: volume, length moments, and exact median/p90 of
+    * the length distribution. Spark's `percentile` aggregate over a
+    * BOUNDED-CARDINALITY measure (n_chars has at most ~10^5 distinct
+    * values regardless of corpus size) buffers a value→count map, not
+    * the rows — map-side combinable, O(distinct) memory, one shuffle on
+    * the handful of language keys; for unbounded measures the approx
+    * sketch is the scale path. Interpolation (rank = p·(n−1), linear)
+    * matches DuckDB's quantile_cont definition, so the twin is exact up
+    * to float rounding. */
+  def qCorpusProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        avg(col("n_chars")).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+        percentile(col("n_chars"), lit(0.9)).as("p90_chars"))
+
+  val qCorpusProfileSql =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         avg(n_chars) AS avg_chars, min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars,
+         quantile_cont(n_chars, 0.5) AS median_chars,
+         quantile_cont(n_chars, 0.9) AS p90_chars
+       FROM documents GROUP BY lang"""
+
   // ---------- registry ----------
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -552,5 +584,6 @@ object TextQueries {
     "q_stratified_sample" -> (qStratifiedSample _, qStratifiedSampleSql),
     "q_neardup_resolve" -> (qNeardupResolve _, qNeardupResolveSql),
     "q_vocab_topk" -> (qVocabTopk _, qVocabTopkSql),
-    "q_bm25" -> (qBm25 _, qBm25Sql))
+    "q_bm25" -> (qBm25 _, qBm25Sql),
+    "q_corpus_profile" -> (qCorpusProfile _, qCorpusProfileSql))
 }
