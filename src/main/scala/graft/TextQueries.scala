@@ -533,6 +533,21 @@ object TextQueries {
        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
        GROUP BY tf.doc_id"""
 
+  /** Continuous twin of [[qVocabTopk]]: the corpus arrives as three
+    * disjoint delta batches folded through
+    * [[graft.text.IncrementalVocab]] (union + groupBy-sum per batch, no
+    * corpus rescan), and the top-100 is read from the maintained state
+    * — ORACLE-CHECKED against the exact same DuckDB twin as the batch
+    * operator, proving the fold loses nothing. */
+  def qVocabTopkInc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.IncrementalVocab
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val batches = (0 to 2).map(i => d.filter(col("doc_id") % 3 === i))
+    val st = batches.tail.foldLeft(IncrementalVocab.initial(batches.head))(
+      IncrementalVocab.delta)
+    IncrementalVocab.topK(st, 100)
+  }
+
   // ---------- corpus profiling (per-language stats + exact quantiles) ----------
 
   /** Per-language corpus profile — the first query run against any new
@@ -585,5 +600,6 @@ object TextQueries {
     "q_neardup_resolve" -> (qNeardupResolve _, qNeardupResolveSql),
     "q_vocab_topk" -> (qVocabTopk _, qVocabTopkSql),
     "q_bm25" -> (qBm25 _, qBm25Sql),
-    "q_corpus_profile" -> (qCorpusProfile _, qCorpusProfileSql))
+    "q_corpus_profile" -> (qCorpusProfile _, qCorpusProfileSql),
+    "q_vocab_topk_inc" -> (qVocabTopkInc _, qVocabTopkSql))
 }

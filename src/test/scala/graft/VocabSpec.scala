@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.IncrementalVocab
+
+/** Algebraic gates for the continuous vocabulary maintainer: the fold
+  * must lose nothing vs the single-batch operator, retraction must
+  * invert it, and the result must not depend on how the input was
+  * partitioned or split into batches. */
+class VocabSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs(): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+
+  private def rows(df: DataFrame): Set[(String, Long, Long)] =
+    df.select("tok", "df", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("IncrementalVocab: folding any batch split equals the batch table") {
+    val d = docs()
+    val whole = rows(IncrementalVocab.ofBatch(d))
+    for (nb <- Seq(2, 3, 5)) {
+      val batches = (0 until nb).map(i => d.filter(col("doc_id") % nb === i))
+      val st = batches.tail.foldLeft(IncrementalVocab.initial(batches.head))(
+        IncrementalVocab.delta)
+      assert(rows(st.counts) == whole, s"fold over $nb batches diverged")
+    }
+    // folding onto the empty state is the bootstrap
+    val viaEmpty = IncrementalVocab.delta(IncrementalVocab.emptyState(spark), d)
+    assert(rows(viaEmpty.counts) == whole)
+  }
+
+  test("IncrementalVocab: retract inverts delta, down to the empty state") {
+    val d = docs()
+    val b1 = d.filter(col("doc_id") % 2 === 0)
+    val b2 = d.filter(col("doc_id") % 2 === 1)
+    val s1 = IncrementalVocab.initial(b1)
+    val s2 = IncrementalVocab.delta(s1, b2)
+    assert(rows(IncrementalVocab.retract(s2, b2).counts) == rows(s1.counts))
+    // retracting everything leaves no rows (df==0 tokens drop out)
+    assert(IncrementalVocab.retract(s1, b1).counts.count() == 0)
+  }
+
+  test("IncrementalVocab: topK matches the batch query under the same total order") {
+    val batch = TextQueries.qVocabTopk(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val st = IncrementalVocab.initial(docs())
+    val inc = IncrementalVocab.topK(st, 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc == batch)
+  }
+}
