@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import scala.jdk.CollectionConverters._
+import graft.text.IncrementalVocab
+
+/** Structured-stream driver for the continuous vocabulary maintainer:
+  * each micro-batch of (doc_id, text) documents folds into the live
+  * (tok, df, tf) state via [[IncrementalVocab.delta]] — the same
+  * foreachBatch + live-handle discipline as [[StreamingDedup]]'s LSH
+  * and SimHash writers, so a stream prefix leaves exactly the state
+  * the batch operator computes over the same docs (gated in
+  * StreamingSpec). Micro-batches are materialized before folding
+  * (foreachBatch frames are only valid during the call; the state's
+  * lazy lineage cuts must not reference them) — delta-sized by
+  * construction, the corpus-sized side stays distributed in the state.
+  */
+object StreamingVocab {
+
+  final class VocabHandle(
+      ref: java.util.concurrent.atomic.AtomicReference[IncrementalVocab.VocabState]) {
+    def state: IncrementalVocab.VocabState = ref.get()
+    private[StreamingVocab] def set(s: IncrementalVocab.VocabState): Unit = ref.set(s)
+  }
+
+  /** Fold a streaming (doc_id, text) frame into a live vocab state;
+    * start with [[IncrementalVocab.emptyState]] for a fresh build — a
+    * delta over the empty state IS the bootstrap. */
+  def vocabWriter(docs: DataFrame, state0: IncrementalVocab.VocabState)
+      : (DataStreamWriter[Row], VocabHandle) = {
+    val handle = new VocabHandle(
+      new java.util.concurrent.atomic.AtomicReference(state0))
+    val w = docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
+          handle.set(IncrementalVocab.delta(handle.state, rows))
+        }
+    }
+    (w, handle)
+  }
+}

@@ -44,6 +44,24 @@ class VocabSpec extends SparkTestBase {
     assert(IncrementalVocab.retract(s1, b1).counts.count() == 0)
   }
 
+  test("IncrementalVocab: streamed micro-batches equal the batch table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val all = docs().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val whole = rows(IncrementalVocab.ofBatch(docs()))
+    val source = MemoryStream[(Long, String)]
+    val (writer, handle) = graft.streaming.StreamingVocab.vocabWriter(
+      source.toDF().toDF("doc_id", "text"), IncrementalVocab.emptyState(spark))
+    val q = writer.start()
+    try {
+      source.addData(all.take(20): _*); q.processAllAvailable()
+      source.addData(all.slice(20, 45): _*); q.processAllAvailable()
+      source.addData(all.drop(45): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(handle.state.counts) == whole)
+  }
+
   test("IncrementalVocab: topK matches the batch query under the same total order") {
     val batch = TextQueries.qVocabTopk(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
