@@ -548,6 +548,38 @@ object TextQueries {
     IncrementalVocab.topK(st, 100)
   }
 
+  // ---------- chunking (fixed-size overlapping windows for RAG/embedding) ----------
+
+  /** Split every document into fixed-size overlapping token windows —
+    * the chunking pass that feeds an embedding/RAG index build
+    * (size 20 tokens, stride 15, so consecutive chunks share 5).
+    * Chunk count is exact integer arithmetic (1 + ⌈(n−size)/stride⌉,
+    * floored at one chunk for short docs) shared verbatim with the
+    * DuckDB twin, so the op is hash-exact, not float-lucky. The plan
+    * is map-only: tokenize → per-row `transform(sequence(...))` →
+    * explode, zero exchanges — at 100 TB chunking fuses into the
+    * corpus-reading stage like the stratified sampler, and the output
+    * order (doc_id, chunk_idx) is total. */
+  def qChunk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+             sequence(0L, greatest(0L, cast(ceil((size(toks) - 20) / 15.0) as long))),
+             i -> struct(i as chunk_idx, array_join(slice(toks, cast(i*15 + 1 as int), 20), ' ') as chunk))""")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"),
+        size(split(col("c.chunk"), " ")).as("n_toks"))
+
+  val qChunkSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+       c AS (SELECT doc_id, toks,
+               unnest(range(0, 1 + greatest(0, CAST(ceil((len(toks) - 20) / 15.0) AS BIGINT)))) AS chunk_idx
+             FROM t)
+       SELECT doc_id, chunk_idx,
+         array_to_string(list_slice(toks, chunk_idx*15 + 1, chunk_idx*15 + 20), ' ') AS chunk,
+         len(string_split(array_to_string(list_slice(toks, chunk_idx*15 + 1, chunk_idx*15 + 20), ' '), ' ')) AS n_toks
+       FROM c"""
+
   // ---------- corpus profiling (per-language stats + exact quantiles) ----------
 
   /** Per-language corpus profile — the first query run against any new
@@ -601,5 +633,6 @@ object TextQueries {
     "q_vocab_topk" -> (qVocabTopk _, qVocabTopkSql),
     "q_bm25" -> (qBm25 _, qBm25Sql),
     "q_corpus_profile" -> (qCorpusProfile _, qCorpusProfileSql),
-    "q_vocab_topk_inc" -> (qVocabTopkInc _, qVocabTopkSql))
+    "q_vocab_topk_inc" -> (qVocabTopkInc _, qVocabTopkSql),
+    "q_chunk" -> (qChunk _, qChunkSql))
 }

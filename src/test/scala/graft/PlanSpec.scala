@@ -70,6 +70,13 @@ class PlanSpec extends SparkTestBase {
       s"columns not pruned:\n$plan")
   }
 
+  test("chunking is map-only: tokenize+window+explode fuse into the scan stage") {
+    val plan = planOf(TextQueries.qChunk(spark, dir))
+    assert(!plan.contains("Exchange"), s"chunking plan shuffles:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
   test("corpus-prep composition pays exactly one shuffle (the dedup aggregate)") {
     val plan = planOf(TextQueries.qCorpusPrep(spark, dir))
     // lang/quality gates fuse into the scan stage; the only exchange is
