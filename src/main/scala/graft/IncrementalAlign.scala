@@ -734,59 +734,29 @@ object IncrementalAlign {
     put("sample", TableIO.commit(spark,
       state.sampleIds.zipWithIndex.map { case (id, i) => (i.toLong, id) }.toSeq
         .toDF("idx", "id"), s"$dir/sample", "state"))
-    // epoch marker LAST — this line is the commit point of the whole save
-    val k = stateEpochs(dir).lastOption.getOrElse(-1L) + 1
-    java.nio.file.Files.createDirectories(epochDir(dir))
-    val tmp = epochDir(dir).resolve(s".epoch-$k.txt.tmp")
-    java.nio.file.Files.writeString(tmp,
-      ids.iterator.map { case (n, i) => s"$n $i" }.mkString("\n"))
-    java.nio.file.Files.move(tmp, epochDir(dir).resolve(s"epoch-$k.txt"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // epoch marker LAST — this call is the commit point of the whole save
+    // (generic multi-table machinery lives in tableio.StateStore; this
+    // save keeps its own component commits for the custom options —
+    // canonical partitioning, lineage inputs, optional components)
+    graft.tableio.StateStore.writeMarker(dir, ids.toSeq)
+    ()
   }
-
-  private def epochDir(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "_state")
 
   /** Committed state epochs of `dir`, ascending (one per completed save). */
-  def stateEpochs(dir: String): Seq[Long] = {
-    import scala.jdk.CollectionConverters._
-    val d = epochDir(dir)
-    if (!java.nio.file.Files.isDirectory(d)) Nil
-    else java.nio.file.Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("epoch-") && s.endsWith(".txt") =>
-        s.stripPrefix("epoch-").stripSuffix(".txt").toLong }
-      .toSeq.sorted
-  }
+  def stateEpochs(dir: String): Seq[Long] = graft.tableio.StateStore.epochs(dir)
 
-  private def readEpoch(dir: String, k: Long): Map[String, Long] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(epochDir(dir).resolve(s"epoch-$k.txt"))
-      .asScala.iterator.filter(_.nonEmpty)
-      .map { l => val Array(n, i) = l.split(' '); n -> i.toLong }.toMap
-  }
+  private def readEpoch(dir: String, k: Long): Map[String, Long] =
+    graft.tableio.StateStore.readEpoch(dir, k)
 
-  /** Retention for the multi-table state: keep the newest `keepEpochs`
-    * epochs (each fully re-loadable via time travel), reclaim everything
-    * older — expired epoch markers plus every component snapshot below
-    * the retained epochs' floor (which also sweeps up orphans left by a
-    * save that crashed before its marker). On an unbounded stream this
-    * bounds state storage at O(keepEpochs × state size). A component
-    * referenced by NO retained epoch (e.g. `index` after switching the
-    * indexed mode off mid-stream) keeps its last snapshots — retention
-    * only reclaims what a retained epoch supersedes. */
-  def expire(dir: String, keepEpochs: Int): Unit = {
-    require(keepEpochs >= 1, "must keep at least the latest epoch")
-    val eps = stateEpochs(dir)
-    if (eps.nonEmpty) {
-      val retained = eps.takeRight(keepEpochs)
-      val floor = retained.map(readEpoch(dir, _)).flatMap(_.toSeq)
-        .groupMapReduce(_._1)(_._2)(math.min)
-      floor.foreach { case (name, id) => TableIO.expireBefore(s"$dir/$name", id) }
-      eps.dropRight(keepEpochs).foreach(k =>
-        java.nio.file.Files.deleteIfExists(epochDir(dir).resolve(s"epoch-$k.txt")))
-    }
-  }
+  /** Retention for the multi-table state — see
+    * [[graft.tableio.StateStore.expire]] (shared machinery): keeps the
+    * newest `keepEpochs` epochs, reclaims markers and component
+    * snapshots below the retained floor (sweeping up orphans from
+    * crashed saves); a component referenced by no retained epoch (e.g.
+    * `index` after switching the indexed mode off mid-stream) keeps its
+    * last snapshots. */
+  def expire(dir: String, keepEpochs: Int): Unit =
+    graft.tableio.StateStore.expire(dir, keepEpochs)
 
   /** Resume the committed state from `dir`: components resolve through
     * the newest epoch marker (see [[save]] — a torn save is invisible);

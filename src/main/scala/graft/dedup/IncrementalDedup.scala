@@ -81,6 +81,21 @@ object IncrementalDedup {
     (stateU, newPairs)
   }
 
+  /** Durable state: both frames commit atomically via
+    * [[graft.tableio.StateStore]] (epoch marker last — a save killed
+    * mid-commit is invisible; epochs time-travel; retention via
+    * `StateStore.expire`). A later session resumes with [[load]] and
+    * keeps folding deltas — gated in PairBlockingSpec: a delta over the
+    * resumed state equals the delta over the live one. */
+  def save(spark: SparkSession, state: DedupState, dir: String): Long =
+    graft.tableio.StateStore.save(spark, dir,
+      Seq("bands" -> state.bands, "pairs" -> state.pairs))
+
+  def load(spark: SparkSession, dir: String, epoch: Option[Long] = None): DedupState = {
+    val m = graft.tableio.StateStore.load(spark, dir, epoch)
+    DedupState(cut(m("bands")), cut(m("pairs")))
+  }
+
   /** Retract a doc set (takedown): drop its index rows and every pair
     * touching it — a delta-sized broadcast filter on both frames.
     * `retract(delta(initial(b1), b2)._1, docs(b2)) == initial(b1)`. */

@@ -110,6 +110,18 @@ object IncrementalSimhash {
     (stateU, newPairs)
   }
 
+  /** Durable state via [[graft.tableio.StateStore]] — atomic two-table
+    * epochs, time travel, retention; resume with [[load]] and keep
+    * folding (gated in PairBlockingSpec). */
+  def save(spark: SparkSession, state: SimhashState, dir: String): Long =
+    graft.tableio.StateStore.save(spark, dir,
+      Seq("bands" -> state.bands, "pairs" -> state.pairs))
+
+  def load(spark: SparkSession, dir: String, epoch: Option[Long] = None): SimhashState = {
+    val m = graft.tableio.StateStore.load(spark, dir, epoch)
+    SimhashState(cut(m("bands")), cut(m("pairs")))
+  }
+
   /** Retract a doc set (takedown): drop its index rows and every pair
     * touching it — delta-sized broadcast filters.
     * `retract(delta(initial(b1), b2)._1, docs(b2)) == initial(b1)`. */

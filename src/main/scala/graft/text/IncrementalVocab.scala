@@ -78,4 +78,13 @@ object IncrementalVocab {
     * — plans as TakeOrderedAndProject over the state. */
   def topK(state: VocabState, k: Int): DataFrame =
     state.counts.orderBy(col("df").desc, col("tf").desc, col("tok")).limit(k)
+
+  /** Durable state via [[graft.tableio.StateStore]] — atomic epochs,
+    * time travel, retention; resume with [[load]] and keep folding
+    * (gated in VocabSpec). */
+  def save(spark: SparkSession, state: VocabState, dir: String): Long =
+    graft.tableio.StateStore.save(spark, dir, Seq("counts" -> state.counts))
+
+  def load(spark: SparkSession, dir: String, epoch: Option[Long] = None): VocabState =
+    VocabState(cut(graft.tableio.StateStore.load(spark, dir, epoch)("counts")))
 }

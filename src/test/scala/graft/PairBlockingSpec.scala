@@ -212,6 +212,38 @@ class PairBlockingSpec extends SparkTestBase {
     assert(handle.state.bands.count() == sig.length * 4L)
   }
 
+  test("IncrementalDedup: a delta over the resumed state equals the live one; torn save invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-state").toString
+    val b1 = skewedBands(0 until 40).toDF("doc_id", "band", "key")
+    val b2 = skewedBands(40 until 90).toDF("doc_id", "band", "key")
+    val s1 = graft.dedup.IncrementalDedup.initial(spark, b1, cap = 8)
+    graft.dedup.IncrementalDedup.save(spark, s1, dir)
+    val loaded = graft.dedup.IncrementalDedup.load(spark, dir)
+    val (live, _) = graft.dedup.IncrementalDedup.delta(spark, s1, b2, cap = 8)
+    val (resumed, _) = graft.dedup.IncrementalDedup.delta(spark, loaded, b2, cap = 8)
+    assert(pairSet(resumed.pairs) == pairSet(live.pairs))
+    assert(resumed.bands.count() == live.bands.count())
+    // torn save: a component commit with no epoch marker after it must
+    // be invisible — load keeps resolving the last completed epoch
+    graft.tableio.TableIO.commit(spark, b2.limit(3), s"$dir/bands", "state")
+    val again = graft.dedup.IncrementalDedup.load(spark, dir)
+    assert(again.bands.count() == s1.bands.count())
+    assert(pairSet(again.pairs) == pairSet(s1.pairs))
+  }
+
+  test("IncrementalSimhash: save/load round-trips the banded index and pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("simhash-state").toString
+    val sig = TextQueries.qSimhash(spark, simhashDocsDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s1 = graft.dedup.IncrementalSimhash.initial(spark,
+      sig.toDF("doc_id", "simhash"), cap = 8)
+    graft.dedup.IncrementalSimhash.save(spark, s1, dir)
+    val loaded = graft.dedup.IncrementalSimhash.load(spark, dir)
+    assert(hamSet(loaded.pairs) == hamSet(s1.pairs))
+    assert(loaded.bands.count() == s1.bands.count())
+  }
+
   test("IncrementalDedup: streamed micro-batches equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

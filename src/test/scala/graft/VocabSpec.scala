@@ -62,6 +62,19 @@ class VocabSpec extends SparkTestBase {
     assert(rows(handle.state.counts) == whole)
   }
 
+  test("IncrementalVocab: a delta over the resumed state equals the live one") {
+    val dir = java.nio.file.Files.createTempDirectory("vocab-state").toString
+    val d = docs()
+    val b1 = d.filter(col("doc_id") % 2 === 0)
+    val b2 = d.filter(col("doc_id") % 2 === 1)
+    val s1 = IncrementalVocab.initial(b1)
+    IncrementalVocab.save(spark, s1, dir)
+    val loaded = IncrementalVocab.load(spark, dir)
+    assert(rows(loaded.counts) == rows(s1.counts))
+    assert(rows(IncrementalVocab.delta(loaded, b2).counts) ==
+      rows(IncrementalVocab.delta(s1, b2).counts))
+  }
+
   test("IncrementalVocab: topK matches the batch query under the same total order") {
     val batch = TextQueries.qVocabTopk(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
