@@ -26,17 +26,37 @@ object StreamingVocab {
 
   /** Fold a streaming (doc_id, text) frame into a live vocab state;
     * start with [[IncrementalVocab.emptyState]] for a fresh build — a
-    * delta over the empty state IS the bootstrap. */
-  def vocabWriter(docs: DataFrame, state0: IncrementalVocab.VocabState)
+    * delta over the empty state IS the bootstrap. With `stateDir` set,
+    * the state commits durably every `commitEvery` batches through
+    * [[graft.tableio.StateStore]] and the live handle swaps to the
+    * freshly loaded snapshot — the StreamingKg discipline: the commit
+    * doubles as plan compaction (the B-batches-deep lazy-union lineage
+    * resets to one parquet-backed scan, O(commitEvery) plan width on an
+    * unbounded stream), a crashed stream resumes from the committed
+    * snapshot, and `retainEpochs` bounds state storage. */
+  def vocabWriter(docs: DataFrame, state0: IncrementalVocab.VocabState,
+                  stateDir: Option[String] = None,
+                  commitEvery: Int = 1,
+                  retainEpochs: Option[Int] = None)
       : (DataStreamWriter[Row], VocabHandle) = {
     val handle = new VocabHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
+    var batches = 0L
     val w = docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
-          handle.set(IncrementalVocab.delta(handle.state, rows))
+          val next = IncrementalVocab.delta(handle.state, rows)
+          batches += 1
+          handle.set(stateDir match {
+            case Some(dir) if batches % commitEvery == 0 =>
+              IncrementalVocab.save(spark, next, dir)
+              val loaded = IncrementalVocab.load(spark, dir)
+              retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+              loaded
+            case _ => next
+          })
         }
     }
     (w, handle)

@@ -75,6 +75,29 @@ class VocabSpec extends SparkTestBase {
       rows(IncrementalVocab.delta(s1, b2).counts))
   }
 
+  test("StreamingVocab: per-batch durable commits compact the state and resume bit-equal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vocab-stream").toString
+    val all = docs().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val whole = rows(IncrementalVocab.ofBatch(docs()))
+    val source = MemoryStream[(Long, String)]
+    val (writer, handle) = graft.streaming.StreamingVocab.vocabWriter(
+      source.toDF().toDF("doc_id", "text"), IncrementalVocab.emptyState(spark),
+      stateDir = Some(dir), commitEvery = 1, retainEpochs = Some(2))
+    val q = writer.start()
+    try {
+      source.addData(all.take(30): _*); q.processAllAvailable()
+      source.addData(all.drop(30): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(handle.state.counts) == whole)
+    // a fresh session-side resume sees exactly the committed fold
+    assert(rows(IncrementalVocab.load(spark, dir).counts) == whole)
+    // retention kept at most 2 epochs
+    assert(graft.tableio.StateStore.epochs(dir).size <= 2)
+  }
+
   test("IncrementalVocab: topK matches the batch query under the same total order") {
     val batch = TextQueries.qVocabTopk(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
