@@ -694,10 +694,16 @@ object IncrementalAlign {
     * mixing one table's new snapshot with another's old one. Orphaned
     * component snapshots from a crashed save are reclaimed by [[expire]]
     * once every retained epoch references a higher id. */
-  def save(spark: SparkSession, state: AlignState, dir: String): Unit = {
+  def save(spark: SparkSession, state: AlignState, dir: String,
+           extras: Seq[(String, org.apache.spark.sql.DataFrame)] = Nil): Unit = {
     import spark.implicits._
     val ids = scala.collection.mutable.LinkedHashMap[String, Long]()
     def put(name: String, snap: TableIO.Snapshot): Unit = ids(name) = snap.id
+    // caller-supplied components (e.g. the stream writers' progress
+    // marker) commit inside the SAME epoch — one atomic marker covers
+    // state + extras; load() reads components by name and ignores these
+    extras.foreach { case (name, df) =>
+      put(name, TableIO.commit(spark, df, s"$dir/$name", "state")) }
     put("ents", TableIO.commit(spark, state.ents.toDF(), s"$dir/ents", "state"))
     put("id_triples", TableIO.commit(spark, state.idTriples.toDF(), s"$dir/id_triples", "state"))
     put("raw_embs", TableIO.commit(spark, state.rawEmbs.toDF(), s"$dir/raw_embs", "state"))

@@ -16,19 +16,27 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Shingle eligibility — ONE definition shared by [[shingles]] (which
+    * seeds every MinHash/Jaccard pair) and [[qNeardupResolve]]'s domain:
+    * the resolution is only correct because its domain covers exactly
+    * the docs that can appear as pair nodes, so the predicate must not
+    * fork. The Scala and SQL forms are the same rule verbatim. */
+  private val eligible = col("doc_id") % 10 === 0 && length(col("text")) >= 3
+  private val eligibleSql = "doc_id % 10 = 0 AND length(text) >= 3"
+
   /** Distinct 3-gram character shingles per doc (deterministic subset:
-    * doc_id % 10 = 0 bounds the pairwise stage at any scale). */
+    * [[eligible]] bounds the pairwise stage at any scale). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 3)
+      .filter(eligible)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("sh"))
       .distinct()
 
   private val shinglesSql =
-    """SELECT DISTINCT doc_id,
+    s"""SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, length(text)-1), i -> substring(text, CAST(i AS INT), 3))) AS sh
-       FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3"""
+       FROM documents WHERE $eligibleSql"""
 
   // ---------- exact dedup (hash-groupBy keep-min) ----------
 
@@ -434,7 +442,7 @@ object TextQueries {
       .select(col("d1").as("a"), col("d2").as("b"))
     val comp = graft.canon.ConnectedComponents.runAuto(spark, edges)
     val domain = docs(spark, dir)
-      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 3)
+      .filter(eligible)
       .select(col("doc_id"))
     domain.join(comp, domain("doc_id") === comp("node"), "left")
       .select(col("doc_id"),
@@ -449,7 +457,7 @@ object TextQueries {
                  UNION SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
        comp AS (SELECT node, min(r) AS component FROM (
                   SELECT node, r FROM reach UNION SELECT node, node FROM reach) GROUP BY node),
-       domain AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3)
+       domain AS (SELECT doc_id FROM documents WHERE $eligibleSql)
        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canon_id,
          CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
        FROM domain d LEFT JOIN comp c ON d.doc_id = c.node"""

@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.candidates.PairBlocking
 
 /** Continuous MinHash-LSH deduplication: maintain the banded signature
@@ -39,9 +38,7 @@ object IncrementalDedup {
 
   final case class DedupState(bands: DataFrame, pairs: DataFrame)
 
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK)
+  private def cut(df: DataFrame): DataFrame = graft.util.Lineage.cut(df)
 
   /** Zero-batch state: a [[delta]] over it IS the bootstrap (cross
     * pairs against an empty index vanish, leaving exactly

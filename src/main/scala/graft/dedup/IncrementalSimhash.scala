@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.candidates.PairBlocking
 
 /** Continuous SimHash deduplication: maintain the banded 16-bit
@@ -49,9 +48,7 @@ object IncrementalSimhash {
 
   private val Pack = 65536L // 2^16: signature occupies the low 16 bits
 
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK)
+  private def cut(df: DataFrame): DataFrame = graft.util.Lineage.cut(df)
 
   /** Banded index rows for a signature batch (doc_id, simhash) →
     * (packed doc_id, band, key); 4 bands × 4 bits over the 16-bit

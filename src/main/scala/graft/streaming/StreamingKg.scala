@@ -20,14 +20,17 @@ import graft.kg.{Doc, DocEvent, Entity}
   *
   * Durability: with `stateDir` set, the state commits through
   * [[IncrementalAlign.save]] (TableIO snapshot tables) every
-  * `commitEvery` batches — a crashed stream resumes from the last
-  * committed snapshot via [[IncrementalAlign.load]] plus the source's
-  * own checkpointed offsets, the same at-least-once + idempotent-commit
-  * discipline as the batch pipeline's TableIO stages. Because a delta
-  * is exact, replaying an already-applied batch against a RESUMED
-  * snapshot cannot corrupt it: re-running `delta` with already-known
-  * entities would violate id uniqueness, so resume logic must skip
-  * batches committed at or before the snapshot (offsets handle this).
+  * `commitEvery` batches, with the just-folded batch id riding in the
+  * SAME epoch as a [[StreamProgress]] component. A crashed stream
+  * resumes from the last committed snapshot via
+  * [[IncrementalAlign.load]]; the writers read the committed position
+  * at construction and SKIP every replayed batchId at or below it —
+  * Spark commits its offset log only after foreachBatch returns, so
+  * the replay-after-our-commit window is real and the id check closes
+  * it (exactly-once at commitEvery=1; at commitEvery>1 a crash loses
+  * at most commitEvery−1 folded-but-uncommitted batches, which the
+  * engine's offset log does not replay — use commitEvery=1 when
+  * exactly-once resume matters).
   *
   * COMPACTION: each commit also swaps the live handle to the freshly
   * loaded snapshot. IncrementalAlign's state tables are lazy unions of
@@ -61,10 +64,14 @@ object StreamingKg {
              stateDir: Option[String] = None,
              commitEvery: Int = 1,
              retainEpochs: Option[Int] = None): (DataStreamWriter[Doc], Handle) = {
+    require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
+    // committed stream position: batchIds at or below this were already
+    // folded AND durably saved by a previous run — skip their replays
+    val resumeAfter = stateDir.map(StreamProgress.last(docs.sparkSession, _)).getOrElse(-1L)
     var batches = 0L
-    val w = docs.writeStream.foreachBatch { (batch: Dataset[Doc], _: Long) =>
-      if (!batch.isEmpty) {
+    val w = docs.writeStream.foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+      if (batchId > resumeAfter && !batch.isEmpty) {
         val spark: SparkSession = batch.sparkSession
         // the micro-batch Dataset is only valid inside this call — pin
         // its rows so delta's many actions replay a local copy, not the
@@ -73,7 +80,7 @@ object StreamingKg {
         val next = IncrementalAlign.delta(spark, handle.state, docsNow,
           entsFor(docsNow), cfg)
         batches += 1
-        handle.set(commitMaybe(spark, next, stateDir, batches, commitEvery, retainEpochs))
+        handle.set(commitMaybe(spark, next, stateDir, batches, batchId, commitEvery, retainEpochs))
       }
     }
     (w, handle)
@@ -92,10 +99,12 @@ object StreamingKg {
                 stateDir: Option[String] = None,
                 commitEvery: Int = 1,
                 retainEpochs: Option[Int] = None): (DataStreamWriter[DocEvent], Handle) = {
+    require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
+    val resumeAfter = stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
     var batches = 0L
-    val w = events.writeStream.foreachBatch { (batch: Dataset[DocEvent], _: Long) =>
-      if (!batch.isEmpty) {
+    val w = events.writeStream.foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+      if (batchId > resumeAfter && !batch.isEmpty) {
         val spark: SparkSession = batch.sparkSession
         import spark.implicits._
         val rows = batch.collect()
@@ -108,7 +117,7 @@ object StreamingKg {
           st = IncrementalAlign.delta(spark, st, docsNow, entsFor(docsNow), cfg)
         }
         batches += 1
-        handle.set(commitMaybe(spark, st, stateDir, batches, commitEvery, retainEpochs))
+        handle.set(commitMaybe(spark, st, stateDir, batches, batchId, commitEvery, retainEpochs))
       }
     }
     (w, handle)
@@ -119,12 +128,13 @@ object StreamingKg {
     * commit — on an unbounded stream this bounds state storage at
     * O(retainEpochs × state size) instead of growing per commit. */
   private def commitMaybe(spark: SparkSession, st: AlignState,
-                          stateDir: Option[String], batches: Long,
+                          stateDir: Option[String], batches: Long, batchId: Long,
                           commitEvery: Int,
                           retainEpochs: Option[Int]): AlignState =
     stateDir match {
       case Some(dir) if batches % commitEvery == 0 =>
-        IncrementalAlign.save(spark, st, dir)
+        IncrementalAlign.save(spark, st, dir,
+          extras = Seq(StreamProgress.Component -> StreamProgress.of(spark, batchId)))
         val loaded = IncrementalAlign.load(spark, dir)
         retainEpochs.foreach(IncrementalAlign.expire(dir, _))
         loaded

@@ -32,26 +32,35 @@ object StreamingVocab {
     * freshly loaded snapshot — the StreamingKg discipline: the commit
     * doubles as plan compaction (the B-batches-deep lazy-union lineage
     * resets to one parquet-backed scan, O(commitEvery) plan width on an
-    * unbounded stream), a crashed stream resumes from the committed
-    * snapshot, and `retainEpochs` bounds state storage. */
+    * unbounded stream), `retainEpochs` bounds state storage, and the
+    * just-folded batch id rides in the same epoch as a
+    * [[StreamProgress]] component. On resume the writer skips every
+    * replayed batchId at or below the committed position, so a replay
+    * after our commit but before the engine's offset write cannot
+    * double-fold — exactly-once at commitEvery=1 (see StreamProgress
+    * for the commitEvery>1 trade-off). */
   def vocabWriter(docs: DataFrame, state0: IncrementalVocab.VocabState,
                   stateDir: Option[String] = None,
                   commitEvery: Int = 1,
                   retainEpochs: Option[Int] = None)
       : (DataStreamWriter[Row], VocabHandle) = {
+    require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new VocabHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
+    val resumeAfter = stateDir.map(StreamProgress.last(docs.sparkSession, _)).getOrElse(-1L)
     var batches = 0L
     val w = docs.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
+      (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (batchId > resumeAfter && !batch.isEmpty) {
           val spark = batch.sparkSession
           val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
           val next = IncrementalVocab.delta(handle.state, rows)
           batches += 1
           handle.set(stateDir match {
             case Some(dir) if batches % commitEvery == 0 =>
-              IncrementalVocab.save(spark, next, dir)
+              graft.tableio.StateStore.save(spark, dir, Seq(
+                "counts" -> next.counts,
+                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
               val loaded = IncrementalVocab.load(spark, dir)
               retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
               loaded

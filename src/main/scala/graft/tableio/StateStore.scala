@@ -52,11 +52,17 @@ object StateStore {
     import scala.jdk.CollectionConverters._
     val d = epochDir(dir)
     if (!java.nio.file.Files.isDirectory(d)) Nil
-    else java.nio.file.Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("epoch-") && s.endsWith(".txt") =>
-        s.stripPrefix("epoch-").stripSuffix(".txt").toLong }
-      .toSeq.sorted
+    else {
+      // Files.list holds a directory fd until closed — per-batch durable
+      // commits call this 2-3× per micro-batch, so relying on GC leaks
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("epoch-") && n.endsWith(".txt") =>
+          n.stripPrefix("epoch-").stripSuffix(".txt").toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Component → snapshot id map of one committed epoch. */

@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Continuous vocabulary maintenance: keep the corpus-wide token
   * document-frequency/term-frequency table current under delta doc
@@ -38,9 +37,7 @@ object IncrementalVocab {
 
   final case class VocabState(counts: DataFrame)
 
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK)
+  private def cut(df: DataFrame): DataFrame = graft.util.Lineage.cut(df)
 
   /** One batch's contribution: (tok, df, tf) over a (doc_id, text)
     * frame — whitespace tokens, same tokenization as `q_vocab_topk`. */

@@ -1,7 +1,10 @@
 package graft.tools
 object DumpSql {
   def main(args: Array[String]): Unit = {
-    val sel = graft.SparkEntry.oracleSql.view.filterKeys(args.drop(1).toSet).toMap
+    val wanted = args.drop(1).toSet
+    val missing = wanted -- graft.SparkEntry.oracleSql.keySet
+    require(missing.isEmpty, s"unknown oracle queries: ${missing.mkString(", ")}")
+    val sel = graft.SparkEntry.oracleSql.view.filterKeys(wanted).toMap
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => " "; case c => c.toString } + "\""

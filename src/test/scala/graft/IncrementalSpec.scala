@@ -257,6 +257,20 @@ class IncrementalSpec extends SparkTestBase {
     val resumed = IncrementalAlign.load(spark, stateDir)
     assert(topkMap(resumed) == topkMap(full))
     assert(canonBag(resumed) == canonBag(full))
+    // crash+restart replay: a fresh source numbers batches 0,1 again —
+    // the writer reads the committed position (batchId 1, saved in the
+    // same epoch as the state) and SKIPS both replays instead of
+    // double-folding them into the resumed state
+    val source2 = MemoryStream[Doc]
+    val (writer2, handle2) = graft.streaming.StreamingKg.writer(
+      source2.toDS(), entsFor, resumed, icfg, stateDir = Some(stateDir), commitEvery = 2)
+    val q2 = writer2.start()
+    try {
+      source2.addData(d2.collect().toSeq: _*); q2.processAllAvailable()
+      source2.addData(d3.collect().toSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(topkMap(handle2.state) == topkMap(full))
+    assert(canonBag(handle2.state) == canonBag(full))
   }
 
   test("streaming ingestion composes with the INDEXED mode (frozen geometry through commits)") {

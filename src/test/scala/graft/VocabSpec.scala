@@ -88,14 +88,52 @@ class VocabSpec extends SparkTestBase {
       stateDir = Some(dir), commitEvery = 1, retainEpochs = Some(2))
     val q = writer.start()
     try {
-      source.addData(all.take(30): _*); q.processAllAvailable()
+      // THREE commits against retainEpochs=2, so retention must expire
+      source.addData(all.take(15): _*); q.processAllAvailable()
+      source.addData(all.slice(15, 30): _*); q.processAllAvailable()
       source.addData(all.drop(30): _*); q.processAllAvailable()
     } finally q.stop()
     assert(rows(handle.state.counts) == whole)
     // a fresh session-side resume sees exactly the committed fold
     assert(rows(IncrementalVocab.load(spark, dir).counts) == whole)
-    // retention kept at most 2 epochs
-    assert(graft.tableio.StateStore.epochs(dir).size <= 2)
+    // retention actually expired the oldest of the 3 epochs
+    assert(graft.tableio.StateStore.epochs(dir).size == 2)
+  }
+
+  test("StreamingVocab: resume skips replayed batches, folds only new ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vocab-resume").toString
+    val all = docs().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val s1 = MemoryStream[(Long, String)]
+    val (w1, _) = graft.streaming.StreamingVocab.vocabWriter(
+      s1.toDF().toDF("doc_id", "text"), IncrementalVocab.emptyState(spark),
+      stateDir = Some(dir), commitEvery = 1)
+    val q1 = w1.start()
+    try {
+      s1.addData(all.take(30): _*); q1.processAllAvailable()   // batch 0
+      s1.addData(all.drop(30): _*); q1.processAllAvailable()   // batch 1
+    } finally q1.stop()
+    // crash+restart simulation: the engine replays from offset 0 (a
+    // fresh source numbers batches 0,1,... again); the writer must skip
+    // the replayed prefix (committed position = batch 1) and fold only
+    // the genuinely new batch 2
+    val extra = all.map { case (id, t) => (id + 1000000L, t) }.take(10)
+    val expected = rows(IncrementalVocab.ofBatch(
+      (all ++ extra).toSeq.toDF("doc_id", "text")))
+    val s2 = MemoryStream[(Long, String)]
+    val (w2, h2) = graft.streaming.StreamingVocab.vocabWriter(
+      s2.toDF().toDF("doc_id", "text"), IncrementalVocab.load(spark, dir),
+      stateDir = Some(dir), commitEvery = 1)
+    val q2 = w2.start()
+    try {
+      s2.addData(all.take(30): _*); q2.processAllAvailable()   // replay of 0: skipped
+      s2.addData(all.drop(30): _*); q2.processAllAvailable()   // replay of 1: skipped
+      s2.addData(extra: _*); q2.processAllAvailable()          // batch 2: folds
+    } finally q2.stop()
+    assert(rows(h2.state.counts) == expected)
+    assert(rows(IncrementalVocab.load(spark, dir).counts) == expected)
   }
 
   test("IncrementalVocab: topK matches the batch query under the same total order") {
