@@ -65,23 +65,45 @@ object StreamingDedup {
     * StreamingSpec). Start from [[graft.dedup.IncrementalDedup.emptyState]]:
     * a delta over the empty state IS the bootstrap. The foreachBatch
     * body runs on the driver between micro-batches; the work inside
-    * `delta` is distributed exactly as in batch mode. */
+    * `delta` is distributed exactly as in batch mode.
+    *
+    * With `stateDir` set, the state commits durably every `commitEvery`
+    * batches (StateStore epochs; commit doubles as plan compaction via
+    * snapshot reload; `retainEpochs` bounds storage) with the folded
+    * batch id riding in the same epoch — resume skips replayed
+    * batchIds, exactly-once at commitEvery=1 (see [[StreamProgress]]). */
   def lshWriter(bands: DataFrame,
                 state0: graft.dedup.IncrementalDedup.DedupState,
-                cap: Int = 4096)
+                cap: Int = 4096,
+                stateDir: Option[String] = None,
+                commitEvery: Int = 1,
+                retainEpochs: Option[Int] = None)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], LshHandle) = {
+    require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new LshHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
+    val resumeAfter = stateDir.map(StreamProgress.last(bands.sparkSession, _)).getOrElse(-1L)
+    var batches = 0L
     val w = bands.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > resumeAfter && !batch.isEmpty) {
           val spark = batch.sparkSession
           // pin the micro-batch rows — delta's actions must replay a
           // local copy, not the consumed source epoch (StreamingKg
           // discipline)
           val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
           val (next, _) = graft.dedup.IncrementalDedup.delta(spark, handle.state, rows, cap)
-          handle.set(next)
+          batches += 1
+          handle.set(stateDir match {
+            case Some(dir) if batches % commitEvery == 0 =>
+              graft.tableio.StateStore.save(spark, dir, Seq(
+                "bands" -> next.bands, "pairs" -> next.pairs,
+                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+              val loaded = graft.dedup.IncrementalDedup.load(spark, dir)
+              retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+              loaded
+            case _ => next
+          })
         }
     }
     (w, handle)
@@ -99,20 +121,37 @@ object StreamingDedup {
     * once per micro-batch. Same contract as [[lshWriter]] — the
     * maintained banded index + accumulated Hamming-≤2 pair set equal
     * the one-shot batch operator after any batch prefix (pigeonhole
-    * banding is lossless across micro-batch boundaries too). */
+    * banding is lossless across micro-batch boundaries too). Durable
+    * commits + exactly-once resume as in [[lshWriter]]. */
   def simhashWriter(sigs: DataFrame,
                     state0: graft.dedup.IncrementalSimhash.SimhashState,
-                    cap: Int = 4096)
+                    cap: Int = 4096,
+                    stateDir: Option[String] = None,
+                    commitEvery: Int = 1,
+                    retainEpochs: Option[Int] = None)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], SimhashHandle) = {
+    require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new SimhashHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
+    val resumeAfter = stateDir.map(StreamProgress.last(sigs.sparkSession, _)).getOrElse(-1L)
+    var batches = 0L
     val w = sigs.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > resumeAfter && !batch.isEmpty) {
           val spark = batch.sparkSession
           val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
           val (next, _) = graft.dedup.IncrementalSimhash.delta(spark, handle.state, rows, cap)
-          handle.set(next)
+          batches += 1
+          handle.set(stateDir match {
+            case Some(dir) if batches % commitEvery == 0 =>
+              graft.tableio.StateStore.save(spark, dir, Seq(
+                "bands" -> next.bands, "pairs" -> next.pairs,
+                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+              val loaded = graft.dedup.IncrementalSimhash.load(spark, dir)
+              retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+              loaded
+            case _ => next
+          })
         }
     }
     (w, handle)

@@ -250,10 +250,12 @@ class PairBlockingSpec extends SparkTestBase {
     val all = skewedBands(0 until 90)
     val batchPairs = pairSet(
       graft.candidates.PairBlocking.pairs(all.toDF("doc_id", "band", "key"), cap = 8).distinct())
+    val dir = java.nio.file.Files.createTempDirectory("lsh-stream").toString
     val source = MemoryStream[(Long, Int, Long)]
     val (writer, handle) = graft.streaming.StreamingDedup.lshWriter(
       source.toDF().toDF("doc_id", "band", "key"),
-      graft.dedup.IncrementalDedup.emptyState(spark), cap = 8)
+      graft.dedup.IncrementalDedup.emptyState(spark), cap = 8,
+      stateDir = Some(dir), commitEvery = 1, retainEpochs = Some(2))
     val q = writer.start()
     try {
       source.addData(skewedBands(0 until 40): _*); q.processAllAvailable()
@@ -262,5 +264,25 @@ class PairBlockingSpec extends SparkTestBase {
     } finally q.stop()
     assert(pairSet(handle.state.pairs) == batchPairs)
     assert(handle.state.bands.count() == all.size)
+    // durable: the committed snapshot equals the fold, retention expired
+    // down to 2 of the 3 per-batch epochs
+    val resumed = graft.dedup.IncrementalDedup.load(spark, dir)
+    assert(pairSet(resumed.pairs) == batchPairs)
+    assert(graft.tableio.StateStore.epochs(dir).size == 2)
+    // crash+restart replay: a fresh source renumbers batches 0,1,2 —
+    // all at or below the committed position, so every replay is
+    // skipped and the state cannot double-fold
+    val source2 = MemoryStream[(Long, Int, Long)]
+    val (writer2, handle2) = graft.streaming.StreamingDedup.lshWriter(
+      source2.toDF().toDF("doc_id", "band", "key"), resumed, cap = 8,
+      stateDir = Some(dir), commitEvery = 1)
+    val q2 = writer2.start()
+    try {
+      source2.addData(skewedBands(0 until 40): _*); q2.processAllAvailable()
+      source2.addData(skewedBands(40 until 60): _*); q2.processAllAvailable()
+      source2.addData(skewedBands(60 until 90): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(pairSet(handle2.state.pairs) == batchPairs)
+    assert(handle2.state.bands.count() == all.size)
   }
 }
