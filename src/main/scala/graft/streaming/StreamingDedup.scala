@@ -157,6 +157,62 @@ object StreamingDedup {
     (w, handle)
   }
 
+  /** CDC composition for the LSH dedup index: one stream carries adds
+    * AND retraction tombstones — rows (op, doc_id, band, key) where
+    * op="add" rows are banded index rows and op="retract" rows carry
+    * only the doc_id (band/key ignored). Per micro-batch, retractions
+    * apply FIRST then additions run as one delta (the StreamingKg
+    * writerCdc discipline: a batch may retract and re-add a doc), so a
+    * takedown arriving mid-stream drops the doc's index rows and every
+    * accumulated pair touching it at delta-sized cost. Tombstones for
+    * never-committed docs are no-ops. Durable commits + exactly-once
+    * resume as in [[lshWriter]]. */
+  def lshWriterCdc(events: DataFrame,
+                   state0: graft.dedup.IncrementalDedup.DedupState,
+                   cap: Int = 4096,
+                   stateDir: Option[String] = None,
+                   commitEvery: Int = 1,
+                   retainEpochs: Option[Int] = None)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], LshHandle) = {
+    require(commitEvery >= 1, "commitEvery must be >= 1")
+    val handle = new LshHandle(
+      new java.util.concurrent.atomic.AtomicReference(state0))
+    val resumeAfter = stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+    var batches = 0L
+    val w = events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > resumeAfter && !batch.isEmpty) {
+          val spark = batch.sparkSession
+          val rows = batch.collect()
+          val opIdx = batch.schema.fieldIndex("op")
+          val idIdx = batch.schema.fieldIndex("doc_id")
+          val tombstones = rows.iterator
+            .filter(_.getString(opIdx) == "retract").map(_.getLong(idIdx)).toSet
+          val adds = rows.filter(_.getString(opIdx) == "add")
+          var st = handle.state
+          if (tombstones.nonEmpty)
+            st = graft.dedup.IncrementalDedup.retract(spark, st, tombstones)
+          if (adds.nonEmpty) {
+            val addRows = spark.createDataFrame(adds.toList.asJava, batch.schema)
+              .select(col("doc_id"), col("band"), col("key"))
+            st = graft.dedup.IncrementalDedup.delta(spark, st, addRows, cap)._1
+          }
+          batches += 1
+          handle.set(stateDir match {
+            case Some(dir) if batches % commitEvery == 0 =>
+              graft.tableio.StateStore.save(spark, dir, Seq(
+                "bands" -> st.bands, "pairs" -> st.pairs,
+                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+              val loaded = graft.dedup.IncrementalDedup.load(spark, dir)
+              retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+              loaded
+            case _ => st
+          })
+        }
+    }
+    (w, handle)
+  }
+
   /** Batch twin over the same files — one row per distinct text (the
     * first by event time, doc_id tie-break), for parity tests and for
     * re-resolving post-eviction re-emits over the committed table. */

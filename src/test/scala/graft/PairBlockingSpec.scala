@@ -244,6 +244,33 @@ class PairBlockingSpec extends SparkTestBase {
     assert(loaded.bands.count() == s1.bands.count())
   }
 
+  test("IncrementalDedup: CDC stream with mid-stream takedown equals the surviving-docs batch run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // survivors = docs 0..59 minus the retracted 10..19
+    val retracted = (10 until 20).map(_.toLong).toSet
+    val surviving = skewedBands(0 until 60).filterNot(b => retracted(b._1))
+    val batchPairs = pairSet(
+      graft.candidates.PairBlocking.pairs(surviving.toDF("doc_id", "band", "key"), cap = 8).distinct())
+    def adds(r: Range) = skewedBands(r).map { case (d, b, k) => ("add", d, b, k) }
+    val source = MemoryStream[(String, Long, Int, Long)]
+    val (writer, handle) = graft.streaming.StreamingDedup.lshWriterCdc(
+      source.toDF().toDF("op", "doc_id", "band", "key"),
+      graft.dedup.IncrementalDedup.emptyState(spark), cap = 8)
+    val q = writer.start()
+    try {
+      source.addData(adds(0 until 40): _*); q.processAllAvailable()
+      // one batch retracts docs 10..19 AND adds 40..59 — retractions
+      // must apply first (the re-add-in-same-batch discipline)
+      source.addData(
+        retracted.toSeq.map(d => ("retract", d, 0, 0L)) ++ adds(40 until 60): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(pairSet(handle.state.pairs) == batchPairs)
+    assert(handle.state.bands.count() == surviving.size)
+  }
+
   test("IncrementalDedup: streamed micro-batches equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
