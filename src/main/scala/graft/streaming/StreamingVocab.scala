@@ -56,18 +56,62 @@ object StreamingVocab {
           val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
           val next = IncrementalVocab.delta(handle.state, rows)
           batches += 1
-          handle.set(stateDir match {
-            case Some(dir) if batches % commitEvery == 0 =>
-              graft.tableio.StateStore.save(spark, dir, Seq(
-                "counts" -> next.counts,
-                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
-              val loaded = IncrementalVocab.load(spark, dir)
-              retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
-              loaded
-            case _ => next
-          })
+          handle.set(commitMaybe(spark, next, stateDir, batches, batchId,
+            commitEvery, retainEpochs))
         }
     }
     (w, handle)
   }
+
+  /** CDC composition: one stream carries adds AND retraction tombstones
+    * — rows (op, doc_id, text) where a "retract" row re-supplies the
+    * doc's text (the [[IncrementalVocab.retract]] contract: subtraction
+    * needs the contribution, keeping the state O(vocabulary) instead of
+    * carrying a per-doc contribution table). Per micro-batch
+    * retractions apply FIRST then additions fold as one delta (a batch
+    * may retract and re-add a doc). Durable commits + exactly-once
+    * resume as in [[vocabWriter]]. */
+  def vocabWriterCdc(events: DataFrame, state0: IncrementalVocab.VocabState,
+                     stateDir: Option[String] = None,
+                     commitEvery: Int = 1,
+                     retainEpochs: Option[Int] = None)
+      : (DataStreamWriter[Row], VocabHandle) = {
+    require(commitEvery >= 1, "commitEvery must be >= 1")
+    val handle = new VocabHandle(
+      new java.util.concurrent.atomic.AtomicReference(state0))
+    val resumeAfter = stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+    var batches = 0L
+    val w = events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (batchId > resumeAfter && !batch.isEmpty) {
+          val spark = batch.sparkSession
+          val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
+          val retracts = rows.filter(rows("op") === "retract").select("doc_id", "text")
+          val adds = rows.filter(rows("op") === "add").select("doc_id", "text")
+          var st = handle.state
+          if (!retracts.isEmpty) st = IncrementalVocab.retract(st, retracts)
+          if (!adds.isEmpty) st = IncrementalVocab.delta(st, adds)
+          batches += 1
+          handle.set(commitMaybe(spark, st, stateDir, batches, batchId,
+            commitEvery, retainEpochs))
+        }
+    }
+    (w, handle)
+  }
+
+  private def commitMaybe(spark: org.apache.spark.sql.SparkSession,
+                          st: IncrementalVocab.VocabState,
+                          stateDir: Option[String], batches: Long, batchId: Long,
+                          commitEvery: Int,
+                          retainEpochs: Option[Int]): IncrementalVocab.VocabState =
+    stateDir match {
+      case Some(dir) if batches % commitEvery == 0 =>
+        graft.tableio.StateStore.save(spark, dir, Seq(
+          "counts" -> st.counts,
+          StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+        val loaded = IncrementalVocab.load(spark, dir)
+        retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+        loaded
+      case _ => st
+    }
 }

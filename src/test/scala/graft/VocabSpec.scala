@@ -136,6 +136,28 @@ class VocabSpec extends SparkTestBase {
     assert(rows(IncrementalVocab.load(spark, dir).counts) == expected)
   }
 
+  test("StreamingVocab: CDC stream with mid-stream takedown equals the surviving-docs table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val all = docs().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (dropped, kept) = all.splitAt(10)
+    val expected = rows(IncrementalVocab.ofBatch(kept.toSeq.toDF("doc_id", "text")))
+    val source = MemoryStream[(String, Long, String)]
+    val (writer, handle) = graft.streaming.StreamingVocab.vocabWriterCdc(
+      source.toDF().toDF("op", "doc_id", "text"), IncrementalVocab.emptyState(spark))
+    val q = writer.start()
+    try {
+      source.addData(all.take(30).map { case (d, t) => ("add", d, t) }: _*)
+      q.processAllAvailable()
+      // one batch retracts the first 10 docs AND adds the remainder
+      source.addData(dropped.map { case (d, t) => ("retract", d, t) } ++
+        all.drop(30).map { case (d, t) => ("add", d, t) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(handle.state.counts) == expected)
+  }
+
   test("IncrementalVocab: topK matches the batch query under the same total order") {
     val batch = TextQueries.qVocabTopk(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
