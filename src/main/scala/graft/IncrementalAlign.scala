@@ -148,13 +148,9 @@ object IncrementalAlign {
     * test never finished under persist; the cut makes each generation's
     * plans start from a LogicalRDD). Reliable checkpoint when the
     * session has a checkpoint dir (real cluster), lazy local otherwise. */
-  private def cut[T](ds: Dataset[T]): Dataset[T] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint()
-    else ds.localCheckpoint(eager = false, lvl)
+  private def cut[T](ds: Dataset[T]): Dataset[T] = graft.util.Lineage.cut(ds)
 
-  private def cutDf(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(eager = false, lvl)
+  private def cutDf(df: DataFrame): DataFrame = graft.util.Lineage.cut(df)
 
   /** blocks for the given triples; centers restricted to `centers` when
     * given (the touched set) — identical per-center rows to a full run
@@ -563,18 +559,25 @@ object IncrementalAlign {
               while (i < qs.length) { bufs(i).offer(cid, Embedder.dot(qs(i)._2, cemb)); i += 1 }
             }
             candAcc.add(rows * qs.length)
-            qs.indices.iterator.map(i => (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos))
+            qs.indices.iterator.map(i => (qs(i)._1, bufs(i).resultIds, bufs(i).resultCos, rows))
           }
           .groupByKey(_._1)
           .reduceGroups { (x, y) =>
             val (ids, cs) = ScoredTopK.merge(x._2, x._3, y._2, y._3, kPrime)
-            (x._1, ids, cs)
+            (x._1, ids, cs, x._4 + y._4)
           }
-          .map { case (srcId, (_, ids, cs)) =>
-            val emb = bcQs.value.find(_._1 == srcId).get._2
-            Maint(ScoredTopK.finish(srcId, emb, ids, cs, bcSample.value, tau,
-              complete = ids.length < kPrime),
-              bcOld.value.getOrElse(srcId, -1L), rescore = true)
+          .mapPartitions { it =>
+            // one hash map per partition, not a linear bcQs scan per row
+            val qEmb = bcQs.value.toMap
+            it.map { case (srcId, (_, ids, cs, corpusRows)) =>
+              // complete ⇔ the list covers the whole corpus — same
+              // convention as the bootstrap (corpusArr.length <= kPrime)
+              // and the indexed rescore (cands <= kPrime); the previous
+              // ids.length < kPrime diverged at |corpus| == kPrime
+              Maint(ScoredTopK.finish(srcId, qEmb(srcId), ids, cs, bcSample.value, tau,
+                complete = corpusRows <= kPrime),
+                bcOld.value.getOrElse(srcId, -1L), rescore = true)
+            }
           }
       else {
         // INDEXED rescore: probe the maintained bucket index instead of
@@ -610,11 +613,13 @@ object IncrementalAlign {
             val (ids, cs) = ScoredTopK.merge(x._2, x._3, y._2, y._3, kPrime)
             (x._1, ids, cs, x._4 + y._4)
           }
-          .map { case (srcId, (_, ids, cs, cands)) =>
-            val emb = bcQs.value.find(_._1 == srcId).get._2
-            Maint(ScoredTopK.finish(srcId, emb, ids, cs, bcSample.value, tau,
-              complete = cands <= kPrime),
-              bcOld.value.getOrElse(srcId, -1L), rescore = true)
+          .mapPartitions { it =>
+            val qEmb = bcQs.value.toMap
+            it.map { case (srcId, (_, ids, cs, cands)) =>
+              Maint(ScoredTopK.finish(srcId, qEmb(srcId), ids, cs, bcSample.value, tau,
+                complete = cands <= kPrime),
+                bcOld.value.getOrElse(srcId, -1L), rescore = true)
+            }
           }
       }
     val maintained = phaseA.filter(!_.rescore).unionByName(rescored).persist(lvl)

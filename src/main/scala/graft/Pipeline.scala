@@ -269,11 +269,7 @@ object Pipeline {
     // a checkpoint dir (real cluster — survives executor loss), lazy
     // localCheckpoint otherwise (single box, where the first candidate
     // job materializes the blocks and executor loss ≡ JVM loss anyway).
-    val embJoined = encodedAll.join(kgOf, "id")
-    val embById =
-      if (spark.sparkContext.getCheckpointDir.isDefined) embJoined.checkpoint()
-      else embJoined.localCheckpoint(eager = false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val embById = graft.util.Lineage.cut(encodedAll.join(kgOf, "id"))
     val q1 = embById.filter(col("kg") === 1).select(col("id"), col("emb")).as[Emb]
     val c2 = embById.filter(col("kg") === 2).select(col("id"), col("emb")).as[Emb]
     // lazy: the auto decision (and its dictionary count job) runs only

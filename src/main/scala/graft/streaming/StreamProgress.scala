@@ -14,7 +14,15 @@ import graft.tableio.{StateStore, TableIO}
   * of double-folding. (With commitEvery>1 durability is best-effort
   * every N batches: a crash loses at most N−1 folded-but-uncommitted
   * batches, which the engine's offset log will NOT replay — callers
-  * wanting exactly-once resume use commitEvery=1.) */
+  * wanting exactly-once resume use commitEvery=1.)
+  *
+  * CONTRACT: batch ids are only comparable within one engine
+  * checkpoint lineage. A restart against the same stateDir MUST reuse
+  * the stream's original checkpointLocation — a fresh checkpoint
+  * renumbers genuinely new batches from 0 and the skip would silently
+  * drop them. When intentionally re-pointing a committed state at a
+  * NEW stream (fresh checkpoint, new data), pass the writers'
+  * `skipReplayed = false` to disable the id check for that run. */
 object StreamProgress {
 
   val Component = "progress"

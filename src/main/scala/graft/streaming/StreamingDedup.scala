@@ -77,12 +77,15 @@ object StreamingDedup {
                 cap: Int = 4096,
                 stateDir: Option[String] = None,
                 commitEvery: Int = 1,
-                retainEpochs: Option[Int] = None)
+                retainEpochs: Option[Int] = None,
+                skipReplayed: Boolean = true)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], LshHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new LshHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
-    val resumeAfter = stateDir.map(StreamProgress.last(bands.sparkSession, _)).getOrElse(-1L)
+    val resumeAfter =
+      if (skipReplayed) stateDir.map(StreamProgress.last(bands.sparkSession, _)).getOrElse(-1L)
+      else -1L
     var batches = 0L
     val w = bands.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -128,12 +131,15 @@ object StreamingDedup {
                     cap: Int = 4096,
                     stateDir: Option[String] = None,
                     commitEvery: Int = 1,
-                    retainEpochs: Option[Int] = None)
+                    retainEpochs: Option[Int] = None,
+                    skipReplayed: Boolean = true)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], SimhashHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new SimhashHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
-    val resumeAfter = stateDir.map(StreamProgress.last(sigs.sparkSession, _)).getOrElse(-1L)
+    val resumeAfter =
+      if (skipReplayed) stateDir.map(StreamProgress.last(sigs.sparkSession, _)).getOrElse(-1L)
+      else -1L
     var batches = 0L
     val w = sigs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -172,12 +178,15 @@ object StreamingDedup {
                    cap: Int = 4096,
                    stateDir: Option[String] = None,
                    commitEvery: Int = 1,
-                   retainEpochs: Option[Int] = None)
+                   retainEpochs: Option[Int] = None,
+                   skipReplayed: Boolean = true)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], LshHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new LshHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
-    val resumeAfter = stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+    val resumeAfter =
+      if (skipReplayed) stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+      else -1L
     var batches = 0L
     val w = events.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -63,12 +63,16 @@ object StreamingKg {
              cfg: IncrementalConfig,
              stateDir: Option[String] = None,
              commitEvery: Int = 1,
-             retainEpochs: Option[Int] = None): (DataStreamWriter[Doc], Handle) = {
+             retainEpochs: Option[Int] = None,
+             skipReplayed: Boolean = true): (DataStreamWriter[Doc], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
     // committed stream position: batchIds at or below this were already
     // folded AND durably saved by a previous run — skip their replays
-    val resumeAfter = stateDir.map(StreamProgress.last(docs.sparkSession, _)).getOrElse(-1L)
+    // (valid only within one engine checkpoint lineage, see StreamProgress)
+    val resumeAfter =
+      if (skipReplayed) stateDir.map(StreamProgress.last(docs.sparkSession, _)).getOrElse(-1L)
+      else -1L
     var batches = 0L
     val w = docs.writeStream.foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
       if (batchId > resumeAfter && !batch.isEmpty) {
@@ -98,10 +102,13 @@ object StreamingKg {
                 cfg: IncrementalConfig,
                 stateDir: Option[String] = None,
                 commitEvery: Int = 1,
-                retainEpochs: Option[Int] = None): (DataStreamWriter[DocEvent], Handle) = {
+                retainEpochs: Option[Int] = None,
+                skipReplayed: Boolean = true): (DataStreamWriter[DocEvent], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
-    val resumeAfter = stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+    val resumeAfter =
+      if (skipReplayed) stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+      else -1L
     var batches = 0L
     val w = events.writeStream.foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
       if (batchId > resumeAfter && !batch.isEmpty) {

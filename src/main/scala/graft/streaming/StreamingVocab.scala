@@ -42,12 +42,15 @@ object StreamingVocab {
   def vocabWriter(docs: DataFrame, state0: IncrementalVocab.VocabState,
                   stateDir: Option[String] = None,
                   commitEvery: Int = 1,
-                  retainEpochs: Option[Int] = None)
+                  retainEpochs: Option[Int] = None,
+                  skipReplayed: Boolean = true)
       : (DataStreamWriter[Row], VocabHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new VocabHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
-    val resumeAfter = stateDir.map(StreamProgress.last(docs.sparkSession, _)).getOrElse(-1L)
+    val resumeAfter =
+      if (skipReplayed) stateDir.map(StreamProgress.last(docs.sparkSession, _)).getOrElse(-1L)
+      else -1L
     var batches = 0L
     val w = docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -74,12 +77,15 @@ object StreamingVocab {
   def vocabWriterCdc(events: DataFrame, state0: IncrementalVocab.VocabState,
                      stateDir: Option[String] = None,
                      commitEvery: Int = 1,
-                     retainEpochs: Option[Int] = None)
+                     retainEpochs: Option[Int] = None,
+                     skipReplayed: Boolean = true)
       : (DataStreamWriter[Row], VocabHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new VocabHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
-    val resumeAfter = stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+    val resumeAfter =
+      if (skipReplayed) stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+      else -1L
     var batches = 0L
     val w = events.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>

@@ -46,12 +46,13 @@ object TableIO {
     val md = metaDir(base)
     if (!Files.isDirectory(md)) None
     else {
-      val ids = Files.list(md).iterator().asScala
+      val st = Files.list(md)
+      try st.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
           s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-        .toSeq
-      ids.maxOption
+        .maxOption
+      finally st.close()
     }
   }
 
@@ -66,11 +67,17 @@ object TableIO {
   def snapshotIds(base: String): Seq[Long] = {
     val md = metaDir(base)
     if (!Files.isDirectory(md)) Nil
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    else {
+      // close the directory stream — retention calls this per component
+      // per micro-batch on durable streams; relying on GC leaks fds
+      val st = Files.list(md)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally st.close()
+    }
   }
 
   /** Time-travel read: the table exactly as committed at snapshot `id`.
@@ -114,13 +121,22 @@ object TableIO {
               val s = c.getStatistics
               val ok = (tn == INT32 || tn == INT64 || tn == FLOAT || tn == DOUBLE) &&
                 s != null && !s.isEmpty && s.hasNonNullValue
-              if (ok) {
-                val (lo, hi) = (BigDecimal(s.genericGetMin.toString), BigDecimal(s.genericGetMax.toString))
-                perCol.get(name) match {
-                  case Some((l0, h0)) => perCol(name) = (l0.min(lo), h0.max(hi))
-                  case None           => perCol(name) = (lo, hi)
-                }
-              } else disabled += name // a statless/unsupported group disables the column
+              // NaN/Infinity float stats don't parse as BigDecimal —
+              // treat the column as statless (no pruning) instead of
+              // failing the commit after the data is already written
+              val parsed =
+                if (!ok) None
+                else try Some((BigDecimal(s.genericGetMin.toString),
+                  BigDecimal(s.genericGetMax.toString)))
+                catch { case _: NumberFormatException => None }
+              parsed match {
+                case Some((lo, hi)) =>
+                  perCol.get(name) match {
+                    case Some((l0, h0)) => perCol(name) = (l0.min(lo), h0.max(hi))
+                    case None           => perCol(name) = (lo, hi)
+                  }
+                case None => disabled += name // statless/unsupported/non-finite group disables the column
+              }
             }
           }
           // a range is sound only if EVERY row group contributed to it
@@ -213,6 +229,13 @@ object TableIO {
     * Returns (matching file paths, total file count). */
   def prunedFiles(base: String, column: String, lo: BigDecimal, hi: BigDecimal)
       : (Seq[String], Int) = {
+    val (keep, total, _) = prunedFilesWithRoot(base, column, lo, hi)
+    (keep, total)
+  }
+
+  private def prunedFilesWithRoot(base: String, column: String,
+                                  lo: BigDecimal, hi: BigDecimal)
+      : (Seq[String], Int, String) = {
     val id = latestSnapshotId(base).getOrElse(
       throw new IllegalStateException(s"no snapshot at $base"))
     val json = Files.readString(metaDir(base).resolve(s"snapshot-$id.json"))
@@ -237,7 +260,7 @@ object TableIO {
         file.startsWith("s3:") || file.startsWith("/")) file else s"$dataPath/$file"
       files += ((path, keep))
     }
-    (files.collect { case (p, true) => p }.toSeq, files.size)
+    (files.collect { case (p, true) => p }.toSeq, files.size, dataPath)
   }
 
   /** Range read with manifest data skipping: rows of the latest
@@ -249,12 +272,16 @@ object TableIO {
   def readRange(spark: SparkSession, base: String, column: String,
                 lo: BigDecimal, hi: BigDecimal): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (keep, _) = prunedFiles(base, column, lo, hi)
+    val (keep, _, dataRoot) = prunedFilesWithRoot(base, column, lo, hi)
     // decimal literals keep the row-level predicate exact for long
     // columns beyond double precision
     val pred = col(column) >= lit(lo.underlying()) && col(column) <= lit(hi.underlying())
     if (keep.isEmpty) read(spark, base).filter(pred).limit(0)
-    else spark.read.parquet(keep: _*).filter(pred)
+    else
+      // basePath makes Spark reconstruct partition-directory columns
+      // (e.g. bucket=3/) from the kept leaf files, so a partitioned
+      // table returns the SAME schema as read()/the empty branch
+      spark.read.option("basePath", dataRoot).parquet(keep: _*).filter(pred)
   }
 
   /** Retention: expire all but the newest `keepLast` snapshots (Iceberg
@@ -286,8 +313,10 @@ object TableIO {
     Files.deleteIfExists(metaDir(base).resolve(s"snapshot-$id.json"))
     val dataDir = Paths.get(base, "data", s"snap-$id")
     if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder[Path]())
+      val st = Files.walk(dataDir)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally st.close()
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 
 /** The incremental family's per-generation lineage cut, shared so the
@@ -8,9 +8,13 @@ import org.apache.spark.storage.StorageLevel
   * whenever the session has a checkpoint dir (the real-cluster
   * configuration — survives executor loss), lazy `localCheckpoint`
   * as the single-box fallback. An unbounded batch chain keeps O(1)
-  * plan depth instead of unioning B generations deep. */
+  * plan depth instead of unioning B generations deep. Generic over the
+  * row type, so typed state components and DataFrames share it.
+  * (ConnectedComponents keeps its own loop-internal cut: same branch
+  * structure but the default localCheckpoint storage level, a measured
+  * choice inside the star loop.) */
 object Lineage {
-  def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK)
+  def cut[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint()
+    else ds.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK)
 }

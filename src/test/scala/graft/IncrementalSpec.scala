@@ -165,6 +165,24 @@ class IncrementalSpec extends SparkTestBase {
     assert(inc.topk.count() > s1.topk.count(), "no new queries arrived")
   }
 
+  test("rescore completeness matches the bootstrap at |corpus| == kPrime (boundary)") {
+    // kPrime = 2*topK = 10; entitiesPerKg = 10 puts the KG2 corpus
+    // exactly at the boundary where the exact rescore's old
+    // ids.length < kPrime convention diverged from the bootstrap's
+    // corpus <= kPrime (regression gate for that off-by-one)
+    val ((d1, e1), (d2, e2)) = splitFixture(6, 10)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    val inc = IncrementalAlign.delta(spark, s1, d2, e2, icfg)
+    val full = IncrementalAlign.initial(spark, d1.unionByName(d2),
+      e1.unionByName(e2), icfg)
+    val ci = inc.topk.collect().map(q => q.srcId -> q.complete).toMap
+    val cf = full.topk.collect().map(q => q.srcId -> q.complete).toMap
+    assert(ci == cf)
+    // a 10-row corpus fits a kPrime=10 list: every query's list IS the corpus
+    assert(cf.values.forall(identity))
+    assert(topkMap(inc) == topkMap(full))
+  }
+
   test("committed state survives save/load and keeps ingesting deltas bit-exactly") {
     val ((d1, e1), (d2, e2)) = splitFixture(35, 50)
     val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)

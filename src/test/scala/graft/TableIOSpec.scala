@@ -56,6 +56,24 @@ class TableIOSpec extends SparkTestBase {
     assert(TableIO.readRange(spark, base, "id", BigDecimal(100000), BigDecimal(200000)).count() == 0)
   }
 
+  test("readRange on a PARTITIONED table keeps the partition column, both branches") {
+    val base = tmp()
+    val df = (0L until 400L).map(i => (i, i % 4)).toDF("id", "bucket")
+    TableIO.commit(spark, df, base, "s", partitionCols = Seq("bucket"))
+    // surviving-files branch: partition-dir column must reconstruct
+    // (basePath), matching read()'s schema
+    val got = TableIO.readRange(spark, base, "id", BigDecimal(10), BigDecimal(20))
+    assert(got.columns.toSet == Set("id", "bucket"), got.columns.mkString(","))
+    // partition-dir values are re-inferred (int) — compare numerically
+    assert(got.select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet ==
+      (10L to 20L).map(i => (i, i % 4)).toSet)
+    // empty branch: same schema
+    val none = TableIO.readRange(spark, base, "id", BigDecimal(100000), BigDecimal(200000))
+    assert(none.columns.toSet == Set("id", "bucket"))
+    assert(none.count() == 0)
+  }
+
   test("rangeClusterBy commit makes skipping effective on shuffled input") {
     val base = tmp()
     // hash-scrambled row order: without clustering every file would
