@@ -150,8 +150,6 @@ object IncrementalAlign {
     * session has a checkpoint dir (real cluster), lazy local otherwise. */
   private def cut[T](ds: Dataset[T]): Dataset[T] = graft.util.Lineage.cut(ds)
 
-  private def cutDf(df: DataFrame): DataFrame = graft.util.Lineage.cut(df)
-
   /** blocks for the given triples; centers restricted to `centers` when
     * given (the touched set) — identical per-center rows to a full run
     * because a center's complete incident edge set is present */
@@ -188,7 +186,7 @@ object IncrementalAlign {
     // cut: `enc` is referenced twice below (union branch + anti-join
     // build side) — without it the whole NeighborAgg+GAT subtree (three
     // shuffles) computes twice inside every downstream action
-    val enc = cutDf(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
+    val enc = cut(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
     val blockless = rawEmbs.filter(e => bcIds.value.contains(e.id)).toDF("id", "emb")
       .join(enc.select("id"), Seq("id"), "left_anti")
     enc.unionByName(blockless).as[(Long, Array[Float])]
@@ -207,7 +205,7 @@ object IncrementalAlign {
                         weights: GatWeights, dim: Int,
                         boundedDims: Boolean): DataFrame = {
     val blocks = blocksFor(spark, triples, ents, rawEmbs, dim, None, boundedDims)
-    val enc = cutDf(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
+    val enc = cut(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
     val blockless = rawEmbs.toDF("id", "emb")
       .join(enc.select("id"), Seq("id"), "left_anti")
     val kgOf = graft.util.BoundedProbe.dimHint(
@@ -269,7 +267,7 @@ object IncrementalAlign {
       dimsBounded))
     val rawE = cut(Embedder.embedEntities(spark, entsP, cfg.embed))
     val weights = GatKernel.initWeights(cfg.embed.dim)
-    val encoded = cutDf(encodeAll(spark, idT, entsP, rawE, weights, cfg.embed.dim,
+    val encoded = cut(encodeAll(spark, idT, entsP, rawE, weights, cfg.embed.dim,
       dimsBounded))
     encoded.count()
 
@@ -327,10 +325,10 @@ object IncrementalAlign {
       (tk, sample.map(_.id), Some(g), Some(ix))
     }
 
-    val accepted = cutDf(topkC.filter(_.acceptedDst >= 0L)
+    val accepted = cut(topkC.filter(_.acceptedDst >= 0L)
       .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
-    val assignment = cutDf(ConnectedComponents.runAuto(spark, accepted))
-    val canonical = cutDf(materialize(spark, idT, assignment, entsP, dimsBounded))
+    val assignment = cut(ConnectedComponents.runAuto(spark, accepted))
+    val canonical = cut(materialize(spark, idT, assignment, entsP, dimsBounded))
     canonical.count()
     AlignState(entsP, idT, rawE, encoded, topkC, sampleIds, accepted, assignment,
       canonical, weights, geom, index)
@@ -454,7 +452,7 @@ object IncrementalAlign {
     val encodedU0 = state.encoded.as[(Long, Int, Array[Float])]
       .filter(r => !bcTouched.value.contains(r._1)).toDF("id", "kg", "emb")
       .unionByName(encodedT)
-    val encodedUC = cutDf(encodedU0)
+    val encodedUC = cut(encodedU0)
     encodedUC.count()
     diag("re-encode done")
 
@@ -637,8 +635,8 @@ object IncrementalAlign {
     val (assignmentU, changedNodes) = ConnectedComponents.maintainDetailed(
       spark, state.assignment, state.accepted, added, removed)
     diag(s"CC maintainDetailed returned")
-    val assignP = cutDf(assignmentU)
-    val acceptedU = cutDf(topkU.filter(_.acceptedDst >= 0L)
+    val assignP = cut(assignmentU)
+    val acceptedU = cut(topkU.filter(_.acceptedDst >= 0L)
       .map(q => (q.srcId, q.acceptedDst)).toDF("a", "b"))
 
     // ---- canonical-triple maintenance: relabel only where a component
@@ -665,7 +663,7 @@ object IncrementalAlign {
       .filter(t => bcChangedNodes.value.contains(t.head) ||
         bcChangedNodes.value.contains(t.tail) || bcNewDocs.value.contains(t.docId))
     diag(s"CC maintain done; changed nodes=${bcChangedNodes.value.size}")
-    val canonicalU = cutDf(keep.unionByName(
+    val canonicalU = cut(keep.unionByName(
         materialize(spark, relabel, assignP, entsU, dimsBounded))
       .select(CanonCols.map(col): _*))
     canonicalU.count()
@@ -803,12 +801,12 @@ object IncrementalAlign {
       ents = cut(rd("ents").as[Entity]),
       idTriples = cut(rd("id_triples").as[DocTriple]),
       rawEmbs = cut(rd("raw_embs").as[Emb]),
-      encoded = cutDf(rd("encoded")),
+      encoded = cut(rd("encoded")),
       topk = cut(rd("topk").as[ScoredQuery]),
       sampleIds = sampleIds,
-      accepted = cutDf(rd("accepted")),
-      assignment = cutDf(rd("assignment")),
-      canonical = cutDf(rd("canonical")
+      accepted = cut(rd("accepted")),
+      assignment = cut(rd("assignment")),
+      canonical = cut(rd("canonical")
         .select(CanonCols.map(col): _*)),
       weights = weights,
       geometry = geometry,
