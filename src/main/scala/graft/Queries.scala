@@ -274,6 +274,27 @@ object Queries {
     """SELECT doc_id, lang, n_chars FROM documents
        WHERE doc_id BETWEEN 100 AND 300"""
 
+  /** TableIO TIME TRAVEL through the driver battery: commit a filtered
+    * snapshot, supersede it with a second commit of different rows, then
+    * read the FIRST snapshot back by id (`readAt` — metadata-only
+    * resolution, Iceberg-style reproducibility: an experiment re-reads
+    * the exact table version it trained on even after later commits).
+    * The oracle twin is the first commit's defining predicate — the
+    * query only matches if the superseded snapshot is still readable
+    * as-committed, byte for byte. */
+  def qTableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_timetravel").toString + "/docs"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val first = graft.tableio.TableIO.commit(spark, d.filter(col("doc_id") < 250), base, "docs")
+    graft.tableio.TableIO.commit(spark, d.filter(col("doc_id") >= 250), base, "docs")
+    graft.tableio.TableIO.readAt(spark, base, first.id)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val qTableTimeTravelSql =
+    """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 250"""
+
   // ---------- composed extract_rel pipeline (extract_rel.py:14-67) ----------
 
   /** The reference's only purely relational pipeline, composed end-to-end
@@ -331,6 +352,7 @@ object Queries {
     "q_token_features" -> (qTokenFeatures _, qTokenFeaturesSql),
     "q_extract_rel" -> (qExtractRel _, qExtractRelSql),
     "q_table_range_scan" -> (qTableRangeScan _, qTableRangeScanSql),
+    "q_table_time_travel" -> (qTableTimeTravel _, qTableTimeTravelSql),
     "q_seeded_interleave" -> (qSeededInterleave _, qSeededInterleaveSql)) ++
     TextQueries.sqlChecked ++ EmbedQueries.sqlChecked ++ KgQueries.sqlChecked
 
