@@ -172,34 +172,41 @@ object Bench {
   /** Whether the budget affords escalating the scaling ladder to rung
     * idx+1, predicting the next pair's cost from the measured current
     * pair: pipeline cost grows ~E^1.6 in this regime (measured 65→196 s
-    * for 50k→100k at 8 cores). Margin 2.0 = 1.7 observed prediction
-    * error (a healthy-window N sample came in 1.7× the extrapolation)
-    * with a little headroom: the margin only needs to make completing
-    * the new PAIR likely, not guarantee its de-noising — since the
-    * final emitted line is the BEST-EVIDENCE rung ([[bestEvidence]]),
-    * an escalation whose budget dies before re-sampling no longer
-    * replaces a de-noised lower rung as the artifact the driver keeps.
-    * (The previous 3.0 margin priced full re-samplability up front and
-    * refused rungs that would have completed: rehearsal 8 refused a
-    * 203 s prediction with 470 s remaining.) Pure — unit-tested in
-    * BenchSpec. */
+    * for 50k→100k at 8 cores). Margin 1.2: the gate only needs to make
+    * completing the new PAIR plausible, not guarantee its de-noising —
+    * the final emitted line is the BEST-EVIDENCE rung ([[bestEvidence]]),
+    * so an escalation whose budget dies mid-rung cannot displace a
+    * de-noised lower rung; the only cost of a failed attempt is the
+    * budget it burned, while the only path to the representative
+    * full-rung number is attempting it. Round 3's driver run proved the
+    * old 2.0 margin mispriced exactly this trade: with ~310 s left it
+    * refused a ~155 s pair prediction and spent the remainder buying
+    * ELEVEN samples of the E/2 rung, whose efficiency is Amdahl-capped
+    * at ~0.77 by the measured serial floor — budget spent proving a
+    * number that cannot reach the ≥0.8 gate (VERDICT r3 #1b/#3). Pure —
+    * unit-tested in BenchSpec. */
   def nextRung(rungs: Seq[Int], idx: Int, elapsed: Double, budget: Double,
                pairCost: Double): Boolean =
     idx + 1 < rungs.length &&
-      elapsed + 2.0 * pairCost * math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6) < budget
+      elapsed + 1.2 * pairCost * math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6) < budget
 
   /** Which rung's final JSON line is re-emitted LAST (the driver keeps
     * the tail line): the rung with the most EVIDENCE — highest
-    * min(samples_n, samples_4n), ties broken toward the larger rung.
-    * Single-sample top rungs read 0.41, 1.17 and 1.38 across three
-    * host windows (both directions!) where de-noised lower rungs read
-    * 0.66-0.90: evidence quality beats rung size, and the selection
-    * rule is symmetric — it demotes lucky superlinear readings exactly
-    * as it demotes unlucky ones. Input per rung: (docs, samplesN,
-    * samples4N). Pure — unit-tested in BenchSpec. */
+    * min(samples_n, samples_4n) CAPPED AT 2, ties broken toward the
+    * larger rung. Single-sample top rungs read 0.41, 1.17 and 1.38
+    * across three host windows (both directions!) where de-noised lower
+    * rungs read 0.66-0.90: evidence quality beats rung size below two
+    * samples per level. But evidence saturates: a 2+2 rung's per-level
+    * minima are already consistent estimators under this host's additive
+    * noise, so beyond two samples per level the representative (larger)
+    * rung must win the tie — round 3's uncapped rule let a 5+6 E/2 rung
+    * (structurally Amdahl-capped at ~0.77) outrank the full rung
+    * outright, making the ladder's escalation pointless (VERDICT r3
+    * #1b). Input per rung: (docs, samplesN, samples4N). Pure —
+    * unit-tested in BenchSpec. */
   def bestEvidence(rungs: Seq[(Long, Int, Int)]): Int =
     rungs.zipWithIndex.maxBy { case ((docs, sn, s4n), _) =>
-      (math.min(sn, s4n), docs)
+      (math.min(2, math.min(sn, s4n)), docs)
     }._2
 
   /** Which level to sample next, given the extra samples already taken

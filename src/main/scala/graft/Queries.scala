@@ -18,6 +18,28 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session-lifetime cache for the TableIO demo tables the battery
+    * commits into temp dirs (`q_table_time_travel`/`q_table_range_scan`):
+    * repeated invocations in one JVM reuse the first commit (so the
+    * benched cost converges on the READ path the query name advertises,
+    * not the setup write), and a shutdown hook removes the temp roots —
+    * repeated bench/correctness runs no longer accumulate orphan dirs
+    * (ADVICE r3). Keyed by (kind, sf dir); values are whatever the setup
+    * needs to replay the read (base path + snapshot id). */
+  private val tmpTableCache = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private def cachedTmpTable(key: String)(setup: String => Long): (String, Long) =
+    tmpTableCache.getOrElseUpdate(key, {
+      val root = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(new java.io.File(root))))
+      val base = root + "/docs"
+      (base, setup(base))
+    })
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   // ---------- S1/P1/P2: scan, projection, filter pushdown ----------
 
   def qScanFilterProject(spark: SparkSession, dir: String): DataFrame =
@@ -261,11 +283,12 @@ object Queries {
     * the Iceberg manifest-stats planning step; the oracle proves the
     * skipped files contained nothing the predicate wanted. */
   def qTableRangeScan(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_rangescan").toString + "/docs"
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    graft.tableio.TableIO.commit(spark, d, base, "docs",
-      rangeClusterBy = Seq("doc_id"), rangeClusterParts = 8)
+    val (base, _) = cachedTmpTable(s"rangescan|$dir") { base =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.tableio.TableIO.commit(spark, d, base, "docs",
+        rangeClusterBy = Seq("doc_id"), rangeClusterParts = 8).id
+    }
     graft.tableio.TableIO.readRange(spark, base, "doc_id", BigDecimal(100), BigDecimal(300))
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
@@ -283,12 +306,14 @@ object Queries {
     * query only matches if the superseded snapshot is still readable
     * as-committed, byte for byte. */
   def qTableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_timetravel").toString + "/docs"
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    val first = graft.tableio.TableIO.commit(spark, d.filter(col("doc_id") < 250), base, "docs")
-    graft.tableio.TableIO.commit(spark, d.filter(col("doc_id") >= 250), base, "docs")
-    graft.tableio.TableIO.readAt(spark, base, first.id)
+    val (base, firstId) = cachedTmpTable(s"timetravel|$dir") { base =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val first = graft.tableio.TableIO.commit(spark, d.filter(col("doc_id") < 250), base, "docs")
+      graft.tableio.TableIO.commit(spark, d.filter(col("doc_id") >= 250), base, "docs")
+      first.id
+    }
+    graft.tableio.TableIO.readAt(spark, base, firstId)
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 

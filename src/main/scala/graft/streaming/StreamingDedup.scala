@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import scala.jdk.CollectionConverters._
 
 /** Streaming exact deduplication — the continuous-ingest twin of the
   * batch hash-groupBy dedup (TextQueries.qDedupExact): documents
@@ -78,38 +77,43 @@ object StreamingDedup {
                 stateDir: Option[String] = None,
                 commitEvery: Int = 1,
                 retainEpochs: Option[Int] = None,
-                skipReplayed: Boolean = true)
+                skipReplayed: Boolean = true,
+                checkpointLocation: Option[String] = None)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], LshHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new LshHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
+    val sid = checkpointLocation.map(StreamProgress.streamId)
     val resumeAfter =
-      if (skipReplayed) stateDir.map(StreamProgress.last(bands.sparkSession, _)).getOrElse(-1L)
+      if (skipReplayed)
+        stateDir.map(StreamProgress.resumePosition(bands.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
+    val stage = new BatchStage(stateDir)
     var batches = 0L
     val w = bands.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > resumeAfter && !batch.isEmpty) {
           val spark = batch.sparkSession
-          // pin the micro-batch rows — delta's actions must replay a
-          // local copy, not the consumed source epoch (StreamingKg
-          // discipline)
-          val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
+          // pin the micro-batch DISTRIBUTED (staging write + read-back,
+          // no driver rows) — delta's actions must replay a stable
+          // copy, not the consumed source epoch (StreamingKg discipline)
+          val rows = stage.pin(batch, batchId)
           val (next, _) = graft.dedup.IncrementalDedup.delta(spark, handle.state, rows, cap)
           batches += 1
           handle.set(stateDir match {
             case Some(dir) if batches % commitEvery == 0 =>
               graft.tableio.StateStore.save(spark, dir, Seq(
                 "bands" -> next.bands, "pairs" -> next.pairs,
-                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+                StreamProgress.Component -> StreamProgress.of(spark, batchId, sid)))
               val loaded = graft.dedup.IncrementalDedup.load(spark, dir)
               retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+              stage.release()
               loaded
             case _ => next
           })
         }
     }
-    (w, handle)
+    (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
   }
 
   /** Live handle on the maintained SimHash dedup state. */
@@ -132,35 +136,40 @@ object StreamingDedup {
                     stateDir: Option[String] = None,
                     commitEvery: Int = 1,
                     retainEpochs: Option[Int] = None,
-                    skipReplayed: Boolean = true)
+                    skipReplayed: Boolean = true,
+                    checkpointLocation: Option[String] = None)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], SimhashHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new SimhashHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
+    val sid = checkpointLocation.map(StreamProgress.streamId)
     val resumeAfter =
-      if (skipReplayed) stateDir.map(StreamProgress.last(sigs.sparkSession, _)).getOrElse(-1L)
+      if (skipReplayed)
+        stateDir.map(StreamProgress.resumePosition(sigs.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
+    val stage = new BatchStage(stateDir)
     var batches = 0L
     val w = sigs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > resumeAfter && !batch.isEmpty) {
           val spark = batch.sparkSession
-          val rows = spark.createDataFrame(batch.collect().toList.asJava, batch.schema)
+          val rows = stage.pin(batch, batchId)
           val (next, _) = graft.dedup.IncrementalSimhash.delta(spark, handle.state, rows, cap)
           batches += 1
           handle.set(stateDir match {
             case Some(dir) if batches % commitEvery == 0 =>
               graft.tableio.StateStore.save(spark, dir, Seq(
                 "bands" -> next.bands, "pairs" -> next.pairs,
-                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+                StreamProgress.Component -> StreamProgress.of(spark, batchId, sid)))
               val loaded = graft.dedup.IncrementalSimhash.load(spark, dir)
               retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+              stage.release()
               loaded
             case _ => next
           })
         }
     }
-    (w, handle)
+    (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
   }
 
   /** CDC composition for the LSH dedup index: one stream carries adds
@@ -179,47 +188,50 @@ object StreamingDedup {
                    stateDir: Option[String] = None,
                    commitEvery: Int = 1,
                    retainEpochs: Option[Int] = None,
-                   skipReplayed: Boolean = true)
+                   skipReplayed: Boolean = true,
+                   checkpointLocation: Option[String] = None)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], LshHandle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new LshHandle(
       new java.util.concurrent.atomic.AtomicReference(state0))
+    val sid = checkpointLocation.map(StreamProgress.streamId)
     val resumeAfter =
-      if (skipReplayed) stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+      if (skipReplayed)
+        stateDir.map(StreamProgress.resumePosition(events.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
+    val stage = new BatchStage(stateDir)
     var batches = 0L
     val w = events.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > resumeAfter && !batch.isEmpty) {
           val spark = batch.sparkSession
-          val rows = batch.collect()
-          val opIdx = batch.schema.fieldIndex("op")
-          val idIdx = batch.schema.fieldIndex("doc_id")
-          val tombstones = rows.iterator
-            .filter(_.getString(opIdx) == "retract").map(_.getLong(idIdx)).toSet
-          val adds = rows.filter(_.getString(opIdx) == "add")
+          val evs = stage.pin(batch, batchId)
+          // tombstone ids are the one driver-side set (the retract
+          // API's own delta-sized contract); add rows stay distributed
+          val tombstones = evs.filter(col("op") === "retract")
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+          val adds = evs.filter(col("op") === "add")
+            .select(col("doc_id"), col("band"), col("key"))
           var st = handle.state
           if (tombstones.nonEmpty)
             st = graft.dedup.IncrementalDedup.retract(spark, st, tombstones)
-          if (adds.nonEmpty) {
-            val addRows = spark.createDataFrame(adds.toList.asJava, batch.schema)
-              .select(col("doc_id"), col("band"), col("key"))
-            st = graft.dedup.IncrementalDedup.delta(spark, st, addRows, cap)._1
-          }
+          if (!adds.isEmpty)
+            st = graft.dedup.IncrementalDedup.delta(spark, st, adds, cap)._1
           batches += 1
           handle.set(stateDir match {
             case Some(dir) if batches % commitEvery == 0 =>
               graft.tableio.StateStore.save(spark, dir, Seq(
                 "bands" -> st.bands, "pairs" -> st.pairs,
-                StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+                StreamProgress.Component -> StreamProgress.of(spark, batchId, sid)))
               val loaded = graft.dedup.IncrementalDedup.load(spark, dir)
               retainEpochs.foreach(graft.tableio.StateStore.expire(dir, _))
+              stage.release()
               loaded
             case _ => st
           })
         }
     }
-    (w, handle)
+    (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
   }
 
   /** Batch twin over the same files — one row per distinct text (the

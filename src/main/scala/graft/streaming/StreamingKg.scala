@@ -44,8 +44,11 @@ import graft.kg.{Doc, DocEvent, Entity}
   * change a single bit of any later delta.
   *
   * The foreachBatch body runs on the DRIVER between micro-batches (the
-  * standard mutable-state-at-the-driver pattern); the heavy work inside
-  * `delta` is distributed exactly as in batch mode. */
+  * standard mutable-state-at-the-driver pattern), but the batch's ROWS
+  * never land on the driver: each micro-batch is pinned by a
+  * distributed staging write ([[BatchStage]] — batch size bounded by
+  * cluster disk, not driver heap) and the heavy work inside `delta` is
+  * distributed exactly as in batch mode. */
 object StreamingKg {
 
   /** Live handle on the maintained state (safe to read between batches). */
@@ -55,8 +58,12 @@ object StreamingKg {
   }
 
   /** Wire a doc stream to the state: returns the foreachBatch writer
-    * (caller starts it, possibly adding trigger/checkpoint options) and
-    * the live state handle. */
+    * (caller starts it, possibly adding trigger options) and the live
+    * state handle. Pass `checkpointLocation` HERE (not as a raw option
+    * on the returned writer) to bind the committed stream position to
+    * this checkpoint lineage — resume then auto-disables replay
+    * skipping if the stateDir is ever re-pointed at a different stream
+    * (see [[StreamProgress]]). */
   def writer(docs: Dataset[Doc],
              entsFor: Dataset[Doc] => Dataset[Entity],
              state0: AlignState,
@@ -64,30 +71,36 @@ object StreamingKg {
              stateDir: Option[String] = None,
              commitEvery: Int = 1,
              retainEpochs: Option[Int] = None,
-             skipReplayed: Boolean = true): (DataStreamWriter[Doc], Handle) = {
+             skipReplayed: Boolean = true,
+             checkpointLocation: Option[String] = None): (DataStreamWriter[Doc], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
+    val sid = checkpointLocation.map(StreamProgress.streamId)
     // committed stream position: batchIds at or below this were already
     // folded AND durably saved by a previous run — skip their replays
-    // (valid only within one engine checkpoint lineage, see StreamProgress)
+    // (identity-checked against this checkpoint lineage, StreamProgress)
     val resumeAfter =
-      if (skipReplayed) stateDir.map(StreamProgress.last(docs.sparkSession, _)).getOrElse(-1L)
+      if (skipReplayed)
+        stateDir.map(StreamProgress.resumePosition(docs.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
+    val stage = new BatchStage(stateDir)
     var batches = 0L
     val w = docs.writeStream.foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
       if (batchId > resumeAfter && !batch.isEmpty) {
         val spark: SparkSession = batch.sparkSession
         // the micro-batch Dataset is only valid inside this call — pin
-        // its rows so delta's many actions replay a local copy, not the
-        // consumed source epoch
-        val docsNow = spark.createDataset(batch.collect().toSeq)(batch.encoder)
+        // it DISTRIBUTED (one staging parquet write + read-back, no
+        // driver materialization) so delta's many actions replay a
+        // stable copy, not the consumed source epoch
+        val docsNow = stage.pinDs(batch, batchId)
         val next = IncrementalAlign.delta(spark, handle.state, docsNow,
           entsFor(docsNow), cfg)
         batches += 1
-        handle.set(commitMaybe(spark, next, stateDir, batches, batchId, commitEvery, retainEpochs))
+        handle.set(commitMaybe(spark, next, stateDir, batches, batchId, commitEvery,
+          retainEpochs, sid, stage))
       }
     }
-    (w, handle)
+    (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
   }
 
   /** Wire a CDC-shaped event stream (adds + retraction tombstones) to
@@ -103,47 +116,57 @@ object StreamingKg {
                 stateDir: Option[String] = None,
                 commitEvery: Int = 1,
                 retainEpochs: Option[Int] = None,
-                skipReplayed: Boolean = true): (DataStreamWriter[DocEvent], Handle) = {
+                skipReplayed: Boolean = true,
+                checkpointLocation: Option[String] = None): (DataStreamWriter[DocEvent], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
+    val sid = checkpointLocation.map(StreamProgress.streamId)
     val resumeAfter =
-      if (skipReplayed) stateDir.map(StreamProgress.last(events.sparkSession, _)).getOrElse(-1L)
+      if (skipReplayed)
+        stateDir.map(StreamProgress.resumePosition(events.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
+    val stage = new BatchStage(stateDir)
     var batches = 0L
     val w = events.writeStream.foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
       if (batchId > resumeAfter && !batch.isEmpty) {
         val spark: SparkSession = batch.sparkSession
         import spark.implicits._
-        val rows = batch.collect()
-        val tombstones = rows.iterator.filter(_.op == "retract").map(_.doc_id).toSet
-        val adds = rows.iterator.filter(_.op == "add").map(_.doc).toSeq
+        val evs = stage.pinDs(batch, batchId)
+        // tombstone ids are the ONE driver-side set here — that is the
+        // retract API's own contract (a takedown batch is delta-sized);
+        // the add rows stay distributed
+        val tombstones = evs.filter(_.op == "retract").map(_.doc_id).collect().toSet
+        val adds = evs.filter(_.op == "add").map(_.doc)
         var st = handle.state
         if (tombstones.nonEmpty) st = IncrementalAlign.retract(spark, st, tombstones, cfg)
-        if (adds.nonEmpty) {
-          val docsNow = spark.createDataset(adds)
-          st = IncrementalAlign.delta(spark, st, docsNow, entsFor(docsNow), cfg)
-        }
+        if (!adds.isEmpty) st = IncrementalAlign.delta(spark, st, adds, entsFor(adds), cfg)
         batches += 1
-        handle.set(commitMaybe(spark, st, stateDir, batches, batchId, commitEvery, retainEpochs))
+        handle.set(commitMaybe(spark, st, stateDir, batches, batchId, commitEvery,
+          retainEpochs, sid, stage))
       }
     }
-    (w, handle)
+    (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
   }
 
   /** Commit + compact (see class doc) when due; identity otherwise.
     * With `retainEpochs` set, older state epochs are expired after the
     * commit — on an unbounded stream this bounds state storage at
-    * O(retainEpochs × state size) instead of growing per commit. */
+    * O(retainEpochs × state size) instead of growing per commit. The
+    * snapshot reload also releases the staged micro-batch files (the
+    * reloaded state references only its own parquet tables). */
   private def commitMaybe(spark: SparkSession, st: AlignState,
                           stateDir: Option[String], batches: Long, batchId: Long,
                           commitEvery: Int,
-                          retainEpochs: Option[Int]): AlignState =
+                          retainEpochs: Option[Int],
+                          sid: Option[Long],
+                          stage: BatchStage): AlignState =
     stateDir match {
       case Some(dir) if batches % commitEvery == 0 =>
         IncrementalAlign.save(spark, st, dir,
-          extras = Seq(StreamProgress.Component -> StreamProgress.of(spark, batchId)))
+          extras = Seq(StreamProgress.Component -> StreamProgress.of(spark, batchId, sid)))
         val loaded = IncrementalAlign.load(spark, dir)
         retainEpochs.foreach(IncrementalAlign.expire(dir, _))
+        stage.release()
         loaded
       case _ => st
     }

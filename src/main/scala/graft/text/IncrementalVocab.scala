@@ -54,11 +54,30 @@ object IncrementalVocab {
 
   def initial(docs: DataFrame): VocabState = VocabState(cut(ofBatch(docs)))
 
+  /** A retraction that does not replay a prior addition verbatim would
+    * drive some token's count NEGATIVE (tokens present in the tombstone
+    * text but not the added text). Before round 4 the `df > 0` filter
+    * silently DROPPED such rows — corrupting the vocabulary with no
+    * signal (ADVICE r3). The guard raises on the first action that
+    * touches a negative count instead: it rides the df/tf columns
+    * themselves (not a droppable assert column), so Catalyst cannot
+    * prune it, and it costs one codegen'd conditional on the
+    * O(vocabulary) state. Tokens the tombstone under-counts (present in
+    * the addition but not the tombstone) remain undetectable without a
+    * per-doc contribution table — that residual contract is documented
+    * at the CDC writer (StreamingVocab.vocabWriterCdc). */
+  private def guarded(c: String) =
+    when(col(c) < 0, raise_error(concat(
+      lit(s"IncrementalVocab: negative $c for token '"), col("tok"),
+      lit("' — a retraction tombstone did not match a prior addition"))))
+      .otherwise(col(c)).as(c)
+
   private def fold(state: VocabState, contrib: DataFrame): VocabState =
     VocabState(cut(
       state.counts.unionByName(contrib)
         .groupBy(col("tok"))
         .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"))
+        .select(col("tok"), guarded("df"), guarded("tf"))
         .filter(col("df") > 0)))
 
   /** Merge a delta doc batch into the state (one token-key shuffle). */

@@ -44,19 +44,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.nextExtra(0, 0, 671, 800, 400, 100).isEmpty)         // 671+130 > 800
   }
 
-  test("nextRung: escalates on E^1.6 extrapolation with 2.0 margin; stops at top") {
+  test("nextRung: escalates on E^1.6 extrapolation with 1.2 margin; stops at top") {
     val rungs = Seq(6250, 12500, 25000, 50000)
-    // doubling E predicts 2^1.6 ≈ 3.03× the pair cost, ×2.0 margin ≈ 6.06×
-    assert(Bench.nextRung(rungs, 0, elapsed = 100, budget = 720, pairCost = 100))  // 100+606 < 720
-    assert(!Bench.nextRung(rungs, 0, elapsed = 150, budget = 720, pairCost = 100)) // 150+606 > 720
+    // doubling E predicts 2^1.6 ≈ 3.03× the pair cost, ×1.2 margin ≈ 3.64×
+    assert(Bench.nextRung(rungs, 0, elapsed = 100, budget = 720, pairCost = 100))  // 100+364 < 720
+    assert(!Bench.nextRung(rungs, 0, elapsed = 360, budget = 720, pairCost = 100)) // 360+364 > 720
+    // round-3 driver-window regression: with ~470 s elapsed and the E/2
+    // pair minima at 38.6+12.5 = 51.1 s, the 2.0 margin refused the full
+    // rung (470 + 2.0·51.1·3.03 ≈ 780.7 > 780 — over by a hair) and the
+    // remaining ~310 s bought eleven E/2 samples instead; the 1.2 margin
+    // takes the attempt (470 + 1.2·51.1·3.03 ≈ 656 < 780)
+    assert(!Bench.nextRung(Seq(25000, 50000), 0, elapsed = 471, budget = 780, pairCost = 51.1 * 2.0 / 1.2))
+    assert(Bench.nextRung(Seq(25000, 50000), 0, elapsed = 470, budget = 780, pairCost = 51.1))
     // at the top rung there is nowhere to go regardless of budget
     assert(!Bench.nextRung(rungs, 3, elapsed = 0, budget = 1e9, pairCost = 1))
     // non-doubling step uses the actual ratio
-    assert(Bench.nextRung(Seq(10000, 15000), 0, 0, 500, pairCost = 80))   // 80×1.91×2.0 ≈ 306 < 500
-    assert(!Bench.nextRung(Seq(10000, 15000), 0, 200, 500, pairCost = 80)) // 506 > 500
+    assert(Bench.nextRung(Seq(10000, 15000), 0, 0, 500, pairCost = 80))    // 80×1.91×1.2 ≈ 184 < 500
+    assert(!Bench.nextRung(Seq(10000, 15000), 0, 330, 500, pairCost = 80)) // 514 > 500
   }
 
-  test("bestEvidence: most samples per level wins; ties break to the larger rung") {
+  test("bestEvidence: samples per level win up to 2; larger rung wins from 2+2") {
     // a de-noised E/2 rung beats a samples_n=1 escalation
     assert(Bench.bestEvidence(Seq((50000L, 3, 4), (100000L, 1, 2))) == 0)
     // equal evidence → the larger rung ships
@@ -64,6 +71,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.bestEvidence(Seq((50000L, 3, 4), (100000L, 3, 3))) == 1)
     // a fully de-noised top rung always wins
     assert(Bench.bestEvidence(Seq((50000L, 1, 1), (100000L, 3, 4))) == 1)
+    // EVIDENCE SATURATES AT 2 PER LEVEL: a 2+2 full rung outranks any
+    // amount of E/2 de-noising (round 3's 5+6 E/2 rung — Amdahl-capped
+    // at ~0.77 — outranked the representative rung outright)
+    assert(Bench.bestEvidence(Seq((50000L, 5, 6), (100000L, 2, 2))) == 1)
+    assert(Bench.bestEvidence(Seq((50000L, 4, 6), (100000L, 2, 3))) == 1)
+    // ...but a 1+2 full rung still loses to a de-noised E/2
+    assert(Bench.bestEvidence(Seq((50000L, 2, 2), (100000L, 1, 2))) == 0)
     // single rung
     assert(Bench.bestEvidence(Seq((50000L, 1, 1))) == 0)
   }

@@ -500,6 +500,42 @@ class IncrementalSpec extends SparkTestBase {
     assert(effectiveAssign(a) == effectiveAssign(b))
   }
 
+  test("indexed mode: rebootstrap re-fits geometry, equals a fresh initial, and deltas compose") {
+    val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfgIdx)
+    val s2 = IncrementalAlign.delta(spark, s1, d2, e2, icfgIdx) // frozen bootstrap geometry
+    val reb = IncrementalAlign.rebootstrap(spark, s2, icfgIdx)
+    val fresh = IncrementalAlign.initial(spark, d1.unionByName(d2),
+      e1.unionByName(e2), icfgIdx)
+    // the re-fit geometry equals a fresh fit over the grown corpus
+    // (sample + fit are deterministic functions of bit-equal rows)...
+    val gr = reb.geometry.get; val gf = fresh.geometry.get
+    assert(gr.bands == gf.bands && gr.rows == gf.rows && gr.seed == gf.seed)
+    assert(java.lang.Double.doubleToRawLongBits(gr.width) ==
+      java.lang.Double.doubleToRawLongBits(gf.width))
+    assert(gr.center.toSeq == gf.center.toSeq)
+    // ...and genuinely differs from the one frozen at the 40-entity
+    // bootstrap (the drift this operation exists to recover from)
+    val g0 = s1.geometry.get
+    assert(java.lang.Double.doubleToRawLongBits(gr.width) !=
+      java.lang.Double.doubleToRawLongBits(g0.width) || gr.center.toSeq != g0.center.toSeq)
+    // full state equality vs the fresh initial, component for component
+    assert(reb.sampleIds.toSeq == fresh.sampleIds.toSeq)
+    assert(topkMap(reb) == topkMap(fresh))
+    assert(acceptedSet(reb) == acceptedSet(fresh))
+    assert(effectiveAssign(reb) == effectiveAssign(fresh))
+    assert(canonBag(reb) == canonBag(fresh))
+    assert(reb.index.get.count() == fresh.index.get.count())
+    // a further delta over the re-bootstrapped state equals one over the
+    // fresh initial — the maintained contract holds under the new geometry
+    val ((_, _), (d3, e3)) = splitFixture(60, 75)
+    val viaReb = IncrementalAlign.delta(spark, reb, d3, e3, icfgIdx)
+    val viaFresh = IncrementalAlign.delta(spark, fresh, d3, e3, icfgIdx)
+    assert(topkMap(viaReb) == topkMap(viaFresh))
+    assert(acceptedSet(viaReb) == acceptedSet(viaFresh))
+    assert(canonBag(viaReb) == canonBag(viaFresh))
+  }
+
   test("incremental deltas compose: two batches equal one from-scratch run") {
     val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
     val ((_, _), (d3, e3)) = splitFixture(40, 55)

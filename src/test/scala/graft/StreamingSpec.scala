@@ -201,4 +201,34 @@ class StreamingSpec extends SparkTestBase {
     assert(out.map(_._1).sameElements(Array("d1", "d2", "d3", "d4")),
       s"got ${out.mkString(",")}")
   }
+
+  test("StreamProgress: identity-bound resume + backward epoch walk (ADVICE r3)") {
+    import graft.streaming.StreamProgress
+    import graft.tableio.StateStore
+    val dir = Files.createTempDirectory("progress").toString
+    val sidA = Some(StreamProgress.streamId("/ckpt/A"))
+    val sidB = Some(StreamProgress.streamId("/ckpt/B"))
+    assert(sidA != sidB)
+    val dummy = Seq((1L, "x")).toDF("k", "v")
+    // epoch 0: progress at batch 7 under lineage A
+    StateStore.save(spark, dir, Seq("data" -> dummy,
+      StreamProgress.Component -> StreamProgress.of(spark, 7L, sidA)))
+    assert(StreamProgress.resumePosition(spark, dir, sidA) == 7L)
+    // a DIFFERENT checkpoint lineage renumbers batches from 0 — the
+    // skip must disarm, not silently drop genuinely new batches
+    assert(StreamProgress.resumePosition(spark, dir, sidB) == -1L)
+    // identity-less caller keeps the legacy scaladoc contract
+    assert(StreamProgress.resumePosition(spark, dir, None) == 7L)
+    // a later save WITHOUT a progress component (a direct state save to
+    // the same dir) must not disarm replay protection: the walk finds
+    // the newest progress-BEARING epoch (stale = safe lower bound)
+    StateStore.save(spark, dir, Seq("data" -> dummy))
+    assert(StreamProgress.resumePosition(spark, dir, sidA) == 7L)
+    assert(StreamProgress.resumePosition(spark, dir, sidB) == -1L)
+    // a newer progress-bearing epoch supersedes the older position
+    StateStore.save(spark, dir, Seq("data" -> dummy,
+      StreamProgress.Component -> StreamProgress.of(spark, 9L, sidA)))
+    assert(StreamProgress.resumePosition(spark, dir, sidA) == 9L)
+    assert(StreamProgress.last(spark, dir) == 9L)
+  }
 }

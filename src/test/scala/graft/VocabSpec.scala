@@ -44,6 +44,27 @@ class VocabSpec extends SparkTestBase {
     assert(IncrementalVocab.retract(s1, b1).counts.count() == 0)
   }
 
+  test("IncrementalVocab: a tombstone that never matched an addition raises, not silently skews (ADVICE r3)") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val st = IncrementalVocab.initial(d)
+    // tombstone for a doc that was never added: "alpha" cancels against
+    // the live corpus (undetectable over-subtraction on shared tokens is
+    // the documented residual), but the never-added token must drive a
+    // NEGATIVE count and fail LOUDLY at the next action — round ≤3's
+    // `df > 0` filter silently dropped it
+    val bad = Seq((99L, "alpha zzz_never_added")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      IncrementalVocab.retract(st, bad).counts.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("zzz_never_added")), msgs(e).mkString(" | "))
+    // a MATCHING tombstone still inverts cleanly through the guard
+    val good = IncrementalVocab.retract(IncrementalVocab.delta(st, bad), bad)
+    assert(rows(good.counts) == rows(st.counts))
+  }
+
   test("IncrementalVocab: streamed micro-batches equal the batch table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
