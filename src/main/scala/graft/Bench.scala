@@ -211,29 +211,39 @@ object Bench {
 
   /** Which level to sample next, given the extra samples already taken
     * (beyond the mandatory first pair) and the budget. Returns
-    * Some(true)=4N, Some(false)=N, None=stop. Priority alternates
-    * 4N, N, 4N, N, 4N, then N, N and 4N up to caps of 6 extra 4N +
-    * 4 extra N (the minimum estimator only improves with samples, so
-    * leftover budget keeps de-noising: a 0.715 reading in a
-    * serialized-allocator hour stopped at the old 2+1 caps with 263 s
-    * stranded, and rehearsal 10 hit the 3+2 caps with 221 s stranded —
-    * one more N sample was the difference between a 0.773 and a ≥0.8
-    * tail in that window). The 4N level
-    * leads because (a) it costs ~4× less wall, and (b) a noise-inflated
-    * 4N sample UNDERSTATES the speedup (round 3's one-sample run read
-    * 0.587 off a 4N sample 2× its repeat cost), so de-noising the
-    * numerator is the cheapest insurance; noise on the N side only
-    * overstates it, which the per-level minimum already treats
-    * symmetrically. Each candidate is gated on 1.3 × its last observed
-    * cost fitting the remaining budget; a skipped expensive level does
-    * not block a cheaper later one. Pure — unit-tested in BenchSpec. */
+    * Some(true)=4N, Some(false)=N, None=stop.
+    *
+    * PRIORITY: balance the pair to 2+2 FIRST, expensive N level first —
+    * the artifact currency is min(samples_n, samples_4n) capped at 2
+    * ([[bestEvidence]]), the N sample is the scarce one, and the budget
+    * window only shrinks, so the expensive balance sample must go while
+    * the window is widest. (Round-4 rehearsal regression: the old
+    * 4N-led alternation let SIX cheap 4N extras burn the leftover while
+    * the N re-sample "didn't fit" — tail samples_n=1, efficiency 1.455
+    * off one inflated 265 s N sample.) Then alternate 4N/N de-noising
+    * up to caps of 6 extra 4N + 4 extra N (the minimum estimator only
+    * improves with samples; rehearsal 10 stranded 221 s at the old
+    * caps).
+    *
+    * GATES: 4N extras need 1.3 × last observed cost inside the budget.
+    * The N re-sample is gated on 1.15 × min(observed, `predN`) — the
+    * lower-rung extrapolation `predN` makes the gate robust to a single
+    * noise-inflated first observation (this host bills the same N run
+    * 171 s or 265 s across windows while the E/2-derived prediction
+    * stays ~155 s): pricing the repeat off the inflated draw is exactly
+    * backwards under additive noise, where the repeat is cheaper in
+    * expectation. Worst case the final sample overruns the soft budget
+    * by its own duration — acceptable, because a complete JSON line is
+    * already flushed after every sample, so a kill costs only the
+    * in-flight sample. A skipped expensive level does not block a
+    * cheaper later one. Pure — unit-tested in BenchSpec. */
   def nextExtra(extraN: Int, extra4N: Int, elapsed: Double, budget: Double,
-                costN: Double, cost4N: Double): Option[Boolean] = {
+                costN: Double, cost4N: Double,
+                predN: Double = Double.PositiveInfinity): Option[Boolean] = {
     val fits4N = elapsed + 1.3 * cost4N < budget
-    val fitsN = elapsed + 1.3 * costN < budget
-    if (extra4N < 1 && fits4N) Some(true)
-    else if (extraN < 1 && fitsN) Some(false)
-    else if (extra4N < 2 && fits4N) Some(true)
+    val fitsN = elapsed + 1.15 * math.min(costN, predN) < budget
+    if (extraN < 1 && fitsN) Some(false)
+    else if (extra4N < 1 && fits4N) Some(true)
     else if (extraN < 2 && fitsN) Some(false)
     else if (extra4N < 3 && fits4N) Some(true)
     else if (extraN < 4 && fitsN) Some(false)
@@ -401,13 +411,18 @@ object Bench {
     // clean re-sample (observed: a slow first N sample over-predicted
     // the next rung by 1.4× and stranded 300 s of budget)
     var cont = true
+    // lower-rung extrapolation of the N-level cost at the current rung
+    // (robust gate for the N balance sample, see nextExtra)
+    var predN = Double.PositiveInfinity
     while (cont) {
       if (nextRung(rungs, idx, elapsed, budgetSec, pairCost)) {
+        val ratio = math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6)
+        predN = samplesN.map(_._2).min * ratio
         idx += 1
         System.err.println(f"[bench] escalating to E=${rungs(idx)} at elapsed $elapsed%.0f s")
         runPair(idx)
       } else nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, budgetSec,
-        samplesN.map(_._2).min, samples4N.map(_._2).min) match {
+        samplesN.map(_._2).min, samples4N.map(_._2).min, predN) match {
         case Some(true)  => samples4N ::= level(nHigh, rungs(idx)); emitKg(idx)
         case Some(false) => samplesN ::= level(nLow, rungs(idx)); emitKg(idx)
         case None        => cont = false

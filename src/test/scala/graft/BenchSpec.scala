@@ -19,13 +19,13 @@ class BenchSpec extends AnyFunSuite {
     assert(!s.contains("kg_bench"))
   }
 
-  test("nextExtra: priority 4N, N, 4N, N, 4N — each budget-gated, caps respected") {
-    // plenty of budget: full alternating sequence, then the N/4N tail
-    // up to the 4-extra-N + 6-extra-4N caps, then stop
-    assert(Bench.nextExtra(0, 0, 100, 2000, 400, 100).contains(true))
-    assert(Bench.nextExtra(0, 1, 200, 2000, 400, 100).contains(false))
-    assert(Bench.nextExtra(1, 1, 600, 2000, 400, 100).contains(true))
-    assert(Bench.nextExtra(1, 2, 700, 2000, 400, 100).contains(false))
+  test("nextExtra: balance to 2+2 first (N leads), then de-noise — budget-gated, caps respected") {
+    // plenty of budget: N balance sample first, then 4N, then N, then
+    // the 4N/N de-noising tail up to the 4-extra-N + 6-extra-4N caps
+    assert(Bench.nextExtra(0, 0, 100, 2000, 400, 100).contains(false))
+    assert(Bench.nextExtra(1, 0, 200, 2000, 400, 100).contains(true))
+    assert(Bench.nextExtra(1, 1, 600, 2000, 400, 100).contains(false))
+    assert(Bench.nextExtra(2, 1, 700, 2000, 400, 100).contains(true))
     assert(Bench.nextExtra(2, 2, 900, 2000, 400, 100).contains(true))
     assert(Bench.nextExtra(2, 3, 1000, 2000, 400, 100).contains(false))
     assert(Bench.nextExtra(3, 3, 1000, 2000, 400, 100).contains(false))
@@ -39,9 +39,18 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.nextExtra(0, 1, 600, 800, 400, 100).contains(true))
     // no budget at all: stop immediately
     assert(Bench.nextExtra(0, 0, 790, 800, 400, 100).isEmpty)
-    // gate uses 1.3 × last observed cost
-    assert(Bench.nextExtra(0, 0, 669, 800, 400, 100).contains(true))  // 669+130 < 800
-    assert(Bench.nextExtra(0, 0, 671, 800, 400, 100).isEmpty)         // 671+130 > 800
+    // 4N gate uses 1.3 × last observed cost
+    assert(Bench.nextExtra(1, 0, 669, 800, 400, 100).contains(true))  // 669+130 < 800
+    assert(Bench.nextExtra(1, 0, 671, 800, 400, 100).isEmpty)         // 671+130 > 800
+    // N gate is robust to one inflated observation: 1.15 × min(cost,
+    // predN). Round-4 rehearsal regression: first E-rung N sample 265 s
+    // (repeat cost ~171 s, E/2 extrapolation ~155 s), elapsed 520 of
+    // 780 — the old 1.3×265 gate refused the balance sample and six 4N
+    // extras burned the leftover (tail samples_n=1, eff 1.455)
+    assert(Bench.nextExtra(0, 0, 520, 780, 265, 45, predN = 155).contains(false)) // 520+178 < 780
+    assert(Bench.nextExtra(0, 0, 520, 780, 265, 45).contains(true))               // without predN: N refused, 4N runs
+    // the prediction never makes an N sample MORE expensive
+    assert(Bench.nextExtra(0, 0, 520, 780, 100, 45, predN = 400).contains(false))
   }
 
   test("nextRung: escalates on E^1.6 extrapolation with 1.2 margin; stops at top") {
