@@ -137,6 +137,23 @@ object KgQueries {
     incFixture(spark, useIndex = true)._1.canonical
       .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
 
+  /** Geometry RE-FIT over the maintained indexed state
+    * ([[IncrementalAlign.rebootstrap]], round 4): re-fits the bucket
+    * geometry from the CURRENT corpus sample, rebuilds index +
+    * candidate lists through the same distributed cogroup scorer as the
+    * bootstrap, and emits the rebuilt canonical triples — the recovery
+    * operation for bootstrap-sample drift (recall evidence in BENCH.md,
+    * tools/DriftProbe). Rows-only; the binding gate is IncrementalSpec's
+    * component-for-component equality with a fresh initial over the
+    * grown corpus, including the freshly fit geometry. */
+  def qKgRebootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val icfg = IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32),
+      topK = 5, useIndex = true)
+    IncrementalAlign.rebootstrap(spark, incFixture(spark, useIndex = true)._1, icfg)
+      .canonical
+      .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+  }
+
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -232,5 +249,6 @@ object KgQueries {
     "q_kg_incremental" -> (qKgIncremental _),
     "q_kg_retract" -> (qKgRetract _),
     "q_kg_indexed" -> (qKgIndexed _),
+    "q_kg_rebootstrap" -> (qKgRebootstrap _),
     "q_media_features" -> (qMediaFeatures _))
 }
