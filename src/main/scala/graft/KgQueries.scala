@@ -87,12 +87,17 @@ object KgQueries {
     * compute-once discipline as [[tinyResult]]): bootstrap state s1 from
     * batch 1, delta-merge batch 2 into s2 — q_kg_incremental reads s2,
     * q_kg_retract undoes batch 2 from it. */
+  /** ONE config literal for the whole continuous fixture family —
+    * q_kg_incremental/retract/indexed/rebootstrap must all score under
+    * the exact parameters the cached state was built with. */
+  private def incFixtureCfg(useIndex: Boolean = false): IncrementalConfig =
+    IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32), topK = 5,
+      useIndex = useIndex)
   private val incCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), (AlignState, Set[String])]()
   private def incFixture(spark: SparkSession, useIndex: Boolean = false): (AlignState, Set[String]) =
     incCache.computeIfAbsent((spark, useIndex), { case (s, idxMode) =>
-      val icfg = IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32), topK = 5,
-        useIndex = idxMode)
+      val icfg = incFixtureCfg(idxMode)
       val e1 = 30; val e = 40
       val cfg1 = graft.ingest.SynthConfig(entitiesPerKg = e1)
       val cfgU = graft.ingest.SynthConfig(entitiesPerKg = e)
@@ -122,8 +127,7 @@ object KgQueries {
     * `retract(delta(initial(b1), b2), docs(b2)) == initial(b1, dictU)`. */
   def qKgRetract(spark: SparkSession, dir: String): DataFrame = {
     val (s2, docIds2) = incFixture(spark)
-    val icfg = IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32), topK = 5)
-    IncrementalAlign.retract(spark, s2, docIds2, icfg).canonical
+    IncrementalAlign.retract(spark, s2, docIds2, incFixtureCfg()).canonical
       .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
   }
 
@@ -146,13 +150,11 @@ object KgQueries {
     * tools/DriftProbe). Rows-only; the binding gate is IncrementalSpec's
     * component-for-component equality with a fresh initial over the
     * grown corpus, including the freshly fit geometry. */
-  def qKgRebootstrap(spark: SparkSession, dir: String): DataFrame = {
-    val icfg = IncrementalConfig(embed = graft.embed.EmbedderConfig(dim = 32),
-      topK = 5, useIndex = true)
-    IncrementalAlign.rebootstrap(spark, incFixture(spark, useIndex = true)._1, icfg)
+  def qKgRebootstrap(spark: SparkSession, dir: String): DataFrame =
+    IncrementalAlign.rebootstrap(spark, incFixture(spark, useIndex = true)._1,
+      incFixtureCfg(useIndex = true))
       .canonical
       .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
-  }
 
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {

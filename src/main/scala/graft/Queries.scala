@@ -24,20 +24,20 @@ object Queries {
     * benched cost converges on the READ path the query name advertises,
     * not the setup write), and a shutdown hook removes the temp roots —
     * repeated bench/correctness runs no longer accumulate orphan dirs
-    * (ADVICE r3). Keyed by (kind, sf dir); values are whatever the setup
-    * needs to replay the read (base path + snapshot id). */
+    * (ADVICE r3). Keyed by (kind, sf dir, source mtime) — the mtime
+    * guards the one staleness hole: a regenerated documents.parquet in
+    * the same JVM must not serve the previous generation's commit while
+    * the DuckDB twin reads the new rows. */
   private val tmpTableCache = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
-  private def cachedTmpTable(key: String)(setup: String => Long): (String, Long) =
-    tmpTableCache.getOrElseUpdate(key, {
+  private def cachedTmpTable(kind: String, dir: String)(setup: String => Long): (String, Long) = {
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified
+    tmpTableCache.getOrElseUpdate(s"$kind|$dir|$mtime", {
       val root = java.nio.file.Files.createTempDirectory("graft_tbl").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(new java.io.File(root))))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.util.LocalFs.deleteRecursively(new java.io.File(root))))
       val base = root + "/docs"
       (base, setup(base))
     })
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   // ---------- S1/P1/P2: scan, projection, filter pushdown ----------
@@ -283,7 +283,7 @@ object Queries {
     * the Iceberg manifest-stats planning step; the oracle proves the
     * skipped files contained nothing the predicate wanted. */
   def qTableRangeScan(spark: SparkSession, dir: String): DataFrame = {
-    val (base, _) = cachedTmpTable(s"rangescan|$dir") { base =>
+    val (base, _) = cachedTmpTable("rangescan", dir) { base =>
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       graft.tableio.TableIO.commit(spark, d, base, "docs",
@@ -306,7 +306,7 @@ object Queries {
     * query only matches if the superseded snapshot is still readable
     * as-committed, byte for byte. */
   def qTableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val (base, firstId) = cachedTmpTable(s"timetravel|$dir") { base =>
+    val (base, firstId) = cachedTmpTable("timetravel", dir) { base =>
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val first = graft.tableio.TableIO.commit(spark, d.filter(col("doc_id") < 250), base, "docs")

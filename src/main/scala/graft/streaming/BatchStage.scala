@@ -19,19 +19,26 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * driver heap.
   *
   * Staging-file lifecycle: a staged dir must outlive every lazy state
-  * reference to its rows. Those references die exactly when a
-  * commit-compaction swaps the live state to a freshly loaded snapshot
+  * reference to its rows. The LIVE state's references die exactly when
+  * a commit-compaction swaps the handle to a freshly loaded snapshot
   * (every state table becomes a parquet-backed scan of the state dir —
   * the StreamingKg COMPACTION note), so writers call [[release]] right
-  * after each snapshot reload and the staging footprint is
-  * O(commitEvery × batch) on an unbounded stream. Streams running
-  * without durable commits keep their staged batches for the run (the
-  * same unbounded-growth bound as the state's own lazy-union lineage,
-  * which also needs commits to reset) — staged under java.io.tmpdir
-  * with a JVM shutdown hook, while durable writers stage under
-  * `stateDir/_staging` so a crashed run's leftovers are visible next
-  * to the state they served and are swept by the next run's first
-  * release.
+  * after each snapshot reload. Release retains ONE extra commit
+  * generation: it deletes the dirs staged before the PREVIOUS release,
+  * not the current cycle's — a state object read off the live Handle
+  * by another thread just before a commit still resolves (its staged
+  * files survive until the next commit after that), so the Handle's
+  * "safe to read between batches" contract holds for any reader that
+  * re-reads the handle at least once per commit cycle; a reference
+  * held across TWO commit-compactions is the documented staleness
+  * bound. Staging footprint: O(2 × commitEvery × batch) on an
+  * unbounded stream. Streams running without durable commits keep
+  * their staged batches for the run (the same unbounded-growth bound
+  * as the state's own lazy-union lineage, which also needs commits to
+  * reset) — staged under java.io.tmpdir with a JVM shutdown hook,
+  * while durable writers stage under `stateDir/_staging` so a crashed
+  * run's leftovers are visible next to the state they served and are
+  * swept once two later commits supersede them.
   */
 final class BatchStage(stateDir: Option[String]) {
 
@@ -39,10 +46,14 @@ final class BatchStage(stateDir: Option[String]) {
     case Some(d) => s"$d/_staging"
     case None =>
       val d = java.nio.file.Files.createTempDirectory("graft_stage").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => BatchStage.delete(new java.io.File(d))))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.util.LocalFs.deleteRecursively(new java.io.File(d))))
       d
   }
-  private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+  // current commit cycle's staged dirs + the retained previous
+  // generation (see class doc); guarded by `this`
+  private var cur = List.empty[String]
+  private var prev = List.empty[String]
 
   /** Pin an untyped micro-batch: one distributed parquet write + a
     * read-back bound to the batch's own schema (no inference). Safe
@@ -51,7 +62,7 @@ final class BatchStage(stateDir: Option[String]) {
   def pin(batch: DataFrame, batchId: Long): DataFrame = {
     val path = s"$root/batch-$batchId"
     batch.write.mode("overwrite").parquet(path)
-    staged.synchronized { staged += path }
+    synchronized { cur ::= path }
     batch.sparkSession.read.schema(batch.schema).parquet(path)
   }
 
@@ -59,22 +70,20 @@ final class BatchStage(stateDir: Option[String]) {
   def pinDs[T](batch: Dataset[T], batchId: Long): Dataset[T] =
     pin(batch.toDF(), batchId).as[T](batch.encoder)
 
-  /** Drop every staged batch dir. Call ONLY after a commit-compaction
-    * reload: from that point the live state reads the committed
-    * snapshot tables and nothing lazy references the staged rows. Also
-    * sweeps leftovers a crashed previous run staged under the same
-    * root (their state epochs either committed — superseding the rows
-    * — or were torn and invisible). */
-  def release(): Unit = staged.synchronized {
-    BatchStage.delete(new java.io.File(root))
-    staged.clear()
-  }
-}
-
-object BatchStage {
-  private[streaming] def delete(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(delete)
-    f.delete(): Unit
+  /** Advance the staging generations after a commit-compaction reload:
+    * dirs staged before the PREVIOUS release are dropped (nothing can
+    * reference them — the live state has been snapshot-backed across
+    * two commits since), the current cycle's dirs are retained one
+    * more cycle for readers holding a pre-commit state off the Handle
+    * (class doc). On the first release, also sweeps leftovers a
+    * crashed previous run staged under the same root, except the
+    * retained generations. */
+  def release(): Unit = synchronized {
+    val keep = (cur ++ prev).map(p => new java.io.File(p).getName).toSet
+    val kids = new java.io.File(root).listFiles()
+    if (kids != null) kids.iterator.filterNot(f => keep.contains(f.getName))
+      .foreach(graft.util.LocalFs.deleteRecursively)
+    prev = cur
+    cur = Nil
   }
 }

@@ -35,9 +35,17 @@ object StreamProgress {
 
   /** Stable identity for a checkpoint lineage: a hash of the
     * checkpointLocation string (content-derived — survives restarts,
-    * differs across locations). */
-  def streamId(checkpointLocation: String): Long =
-    checkpointLocation.foldLeft(1125899906842597L)((h, c) => 31 * h + c)
+    * differs across locations). Trailing slashes are stripped so the
+    * two spellings of one directory hash identically; deeper
+    * equivalences (relative vs absolute paths, scheme case in URIs)
+    * cannot be resolved portably for remote locations — callers must
+    * pass the SAME spelling across restarts, and the failure mode of
+    * not doing so is the safe direction (identities differ → the skip
+    * disarms → at-least-once, never silent loss). */
+  def streamId(checkpointLocation: String): Long = {
+    val norm = checkpointLocation.reverse.dropWhile(_ == '/').reverse
+    norm.foldLeft(1125899906842597L)((h, c) => 31 * h + c)
+  }
 
   /** 1-row frame recording the just-folded batch id and the stream
     * identity it is numbered in (null when the writer was not given a

@@ -70,7 +70,12 @@ object StreamingDedup {
     * batches (StateStore epochs; commit doubles as plan compaction via
     * snapshot reload; `retainEpochs` bounds storage) with the folded
     * batch id riding in the same epoch — resume skips replayed
-    * batchIds, exactly-once at commitEvery=1 (see [[StreamProgress]]). */
+    * batchIds, exactly-once at commitEvery=1 (see [[StreamProgress]]).
+    * Pass `checkpointLocation` HERE, not as a raw option on the
+    * returned writer: the writer sets the option itself AND binds the
+    * committed position to that lineage — setting the option directly
+    * (or overriding this one) records no/the wrong identity and
+    * re-opens the silent-skip hole the binding closes. */
   def lshWriter(bands: DataFrame,
                 state0: graft.dedup.IncrementalDedup.DedupState,
                 cap: Int = 4096,

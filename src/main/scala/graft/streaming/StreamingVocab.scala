@@ -38,7 +38,10 @@ object StreamingVocab {
     * replayed batchId at or below the committed position, so a replay
     * after our commit but before the engine's offset write cannot
     * double-fold — exactly-once at commitEvery=1 (see StreamProgress
-    * for the commitEvery>1 trade-off). */
+    * for the commitEvery>1 trade-off). Pass `checkpointLocation` HERE,
+    * not as a raw option on the returned writer (the StreamingDedup
+    * lshWriter note: the writer sets the option itself and binds the
+    * committed position to that lineage). */
   def vocabWriter(docs: DataFrame, state0: IncrementalVocab.VocabState,
                   stateDir: Option[String] = None,
                   commitEvery: Int = 1,

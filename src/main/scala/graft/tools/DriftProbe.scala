@@ -98,8 +98,9 @@ object DriftProbe {
     // queries: perturbed copies of every 4th corpus row; ground truth =
     // exact cosine top-k over the full corpus
     val queries = corpus.zipWithIndex.collect { case (e, qi) if qi % 4 == 0 =>
+      val nz = unitNoise(dim, seed, e.id, 3)
       val qEmb = normalize(e.emb.indices.map(j =>
-        (e.emb(j) + 0.1 * unitNoise(dim, seed, e.id, 3)(j)).toFloat).toArray)
+        (e.emb(j) + 0.1 * nz(j)).toFloat).toArray)
       val exact = corpus.map(c => (c.id, Embedder.dot(qEmb, c.emb)))
         .sortBy { case (id, d) => (-d, id) }.take(k).map(_._1)
       (e.id, qEmb, exact)
