@@ -225,22 +225,28 @@ object Bench {
     * improves with samples; rehearsal 10 stranded 221 s at the old
     * caps).
     *
-    * GATES: 4N extras need 1.3 × last observed cost inside the budget.
-    * The N re-sample is gated on 1.15 × min(observed, `predN`) — the
-    * lower-rung extrapolation `predN` makes the gate robust to a single
-    * noise-inflated first observation (this host bills the same N run
-    * 171 s or 265 s across windows while the E/2-derived prediction
-    * stays ~155 s): pricing the repeat off the inflated draw is exactly
-    * backwards under additive noise, where the repeat is cheaper in
-    * expectation. Worst case the final sample overruns the soft budget
-    * by its own duration — acceptable, because a complete JSON line is
-    * already flushed after every sample, so a kill costs only the
-    * in-flight sample. A skipped expensive level does not block a
-    * cheaper later one. Pure — unit-tested in BenchSpec. */
+    * GATES: BOTH levels are priced at min(last observed cost,
+    * lower-rung E^1.6 extrapolation) — the extrapolation makes each
+    * gate robust to a single noise-inflated first observation, which
+    * this host produces on either side (rehearsal 17: N billed 265 s
+    * where the E/2 prediction said 155 s and the repeat came in at
+    * 165 s; rehearsal 18: 4N billed 108.8 s where the prediction said
+    * ~45 s, and pricing the repeat off that single draw refused a
+    * re-sample that fit with 118 s of budget stranded — tail
+    * samples_4n=1 at 0.383). Pricing a repeat off an inflated draw is
+    * exactly backwards under additive noise, where the repeat is
+    * cheaper in expectation. Margins: 1.15 on N (the expensive,
+    * artifact-binding sample), 1.3 on 4N. Worst case the final sample
+    * overruns the soft budget by its own duration — acceptable,
+    * because a complete JSON line is already flushed after every
+    * sample, so a kill costs only the in-flight sample. A skipped
+    * expensive level does not block a cheaper later one. Pure —
+    * unit-tested in BenchSpec. */
   def nextExtra(extraN: Int, extra4N: Int, elapsed: Double, budget: Double,
                 costN: Double, cost4N: Double,
-                predN: Double = Double.PositiveInfinity): Option[Boolean] = {
-    val fits4N = elapsed + 1.3 * cost4N < budget
+                predN: Double = Double.PositiveInfinity,
+                pred4N: Double = Double.PositiveInfinity): Option[Boolean] = {
+    val fits4N = elapsed + 1.3 * math.min(cost4N, pred4N) < budget
     val fitsN = elapsed + 1.15 * math.min(costN, predN) < budget
     if (extraN < 1 && fitsN) Some(false)
     else if (extra4N < 1 && fits4N) Some(true)
@@ -411,18 +417,20 @@ object Bench {
     // clean re-sample (observed: a slow first N sample over-predicted
     // the next rung by 1.4× and stranded 300 s of budget)
     var cont = true
-    // lower-rung extrapolation of the N-level cost at the current rung
-    // (robust gate for the N balance sample, see nextExtra)
+    // lower-rung extrapolations of each level's cost at the current
+    // rung (robust re-sample gates, see nextExtra)
     var predN = Double.PositiveInfinity
+    var pred4N = Double.PositiveInfinity
     while (cont) {
       if (nextRung(rungs, idx, elapsed, budgetSec, pairCost)) {
         val ratio = math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6)
         predN = samplesN.map(_._2).min * ratio
+        pred4N = samples4N.map(_._2).min * ratio
         idx += 1
         System.err.println(f"[bench] escalating to E=${rungs(idx)} at elapsed $elapsed%.0f s")
         runPair(idx)
       } else nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, budgetSec,
-        samplesN.map(_._2).min, samples4N.map(_._2).min, predN) match {
+        samplesN.map(_._2).min, samples4N.map(_._2).min, predN, pred4N) match {
         case Some(true)  => samples4N ::= level(nHigh, rungs(idx)); emitKg(idx)
         case Some(false) => samplesN ::= level(nLow, rungs(idx)); emitKg(idx)
         case None        => cont = false

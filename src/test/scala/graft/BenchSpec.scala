@@ -51,6 +51,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.nextExtra(0, 0, 520, 780, 265, 45).contains(true))               // without predN: N refused, 4N runs
     // the prediction never makes an N sample MORE expensive
     assert(Bench.nextExtra(0, 0, 520, 780, 100, 45, predN = 400).contains(false))
+    // symmetric 4N regression (rehearsal 18): single inflated 4N draw
+    // 108.8 s where the E/2 extrapolation said ~45 s; at elapsed 662 of
+    // 780 the observed-cost gate refused the balance re-sample
+    // (662+1.3·108.8 ≈ 803) with 118 s stranded — the prediction takes
+    // it (662+1.3·45 ≈ 720)
+    assert(Bench.nextExtra(1, 0, 662, 780, 166.6, 108.8, predN = 155).isEmpty)
+    assert(Bench.nextExtra(1, 0, 662, 780, 166.6, 108.8, predN = 155, pred4N = 45).contains(true))
   }
 
   test("nextRung: escalates on E^1.6 extrapolation with 1.2 margin; stops at top") {
