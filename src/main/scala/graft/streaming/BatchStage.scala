@@ -50,10 +50,8 @@ final class BatchStage(stateDir: Option[String]) {
         graft.util.LocalFs.deleteRecursively(new java.io.File(d))))
       d
   }
-  // current commit cycle's staged dirs + the retained previous
-  // generation (see class doc); guarded by `this`
+  // current commit cycle's staged dirs (see class doc); guarded by `this`
   private var cur = List.empty[String]
-  private var prev = List.empty[String]
 
   /** Pin an untyped micro-batch: one distributed parquet write + a
     * read-back bound to the batch's own schema (no inference). Safe
@@ -70,20 +68,19 @@ final class BatchStage(stateDir: Option[String]) {
   def pinDs[T](batch: Dataset[T], batchId: Long): Dataset[T] =
     pin(batch.toDF(), batchId).as[T](batch.encoder)
 
-  /** Advance the staging generations after a commit-compaction reload:
-    * dirs staged before the PREVIOUS release are dropped (nothing can
-    * reference them — the live state has been snapshot-backed across
-    * two commits since), the current cycle's dirs are retained one
-    * more cycle for readers holding a pre-commit state off the Handle
-    * (class doc). On the first release, also sweeps leftovers a
-    * crashed previous run staged under the same root, except the
-    * retained generations. */
+  /** Advance the staging generation after a commit-compaction reload:
+    * the CURRENT cycle's dirs are retained one more cycle (a reader
+    * holding a state taken off the live Handle just before this commit
+    * still resolves until the NEXT commit — class doc), everything
+    * older is dropped (the live state has been snapshot-backed since;
+    * only a reader two commits stale could miss them, the documented
+    * bound). Each release also sweeps leftovers a crashed previous run
+    * staged under the same root. */
   def release(): Unit = synchronized {
-    val keep = (cur ++ prev).map(p => new java.io.File(p).getName).toSet
+    val keep = cur.map(p => new java.io.File(p).getName).toSet
     val kids = new java.io.File(root).listFiles()
     if (kids != null) kids.iterator.filterNot(f => keep.contains(f.getName))
       .foreach(graft.util.LocalFs.deleteRecursively)
-    prev = cur
     cur = Nil
   }
 }

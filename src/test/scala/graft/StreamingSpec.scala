@@ -202,6 +202,43 @@ class StreamingSpec extends SparkTestBase {
       s"got ${out.mkString(",")}")
   }
 
+  test("BatchStage: distributed pin round-trips; release retains one commit generation") {
+    import graft.streaming.BatchStage
+    val stateDir = Files.createTempDirectory("stage").toString
+    val stage = new BatchStage(Some(stateDir))
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val pinned1 = stage.pin(b1, 0L)
+    // the pin is a stable parquet-backed copy with the batch's schema
+    // (names/types; Spark file sources force nullable=true on read)
+    assert(pinned1.schema.map(f => (f.name, f.dataType)) ==
+      b1.schema.map(f => (f.name, f.dataType)))
+    assert(pinned1.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    def staged(): Set[String] = {
+      val fs = new java.io.File(s"$stateDir/_staging").listFiles()
+      if (fs == null) Set.empty else fs.map(_.getName).toSet
+    }
+    assert(staged() == Set("batch-0"))
+    // commit 1: batch-0 moves to the retained generation — a state read
+    // off the live handle just before this commit still resolves
+    stage.release()
+    assert(staged() == Set("batch-0"))
+    assert(pinned1.count() == 2)
+    stage.pin(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(staged() == Set("batch-0", "batch-1"))
+    // commit 2: batch-0 (two commits old, nothing can reference it) is
+    // swept; batch-1 is retained one more cycle
+    stage.release()
+    assert(staged() == Set("batch-1"))
+    stage.release()
+    assert(staged() == Set.empty)
+    // a crashed-run leftover under the same root is swept, retained
+    // generations are not
+    Files.createDirectories(java.nio.file.Paths.get(s"$stateDir/_staging/batch-99"))
+    stage.pin(Seq((4L, "d")).toDF("id", "v"), 2L)
+    stage.release()
+    assert(staged() == Set("batch-2"))
+  }
+
   test("StreamProgress: identity-bound resume + backward epoch walk (ADVICE r3)") {
     import graft.streaming.StreamProgress
     import graft.tableio.StateStore
