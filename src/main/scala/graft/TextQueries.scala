@@ -639,7 +639,7 @@ object TextQueries {
         round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"))
 
   val qCorpusProfileSql =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          round(avg(n_chars), 6) AS avg_chars, min(n_chars) AS min_chars,
          max(n_chars) AS max_chars,
          round(quantile_cont(n_chars, 0.5), 6) AS median_chars,

@@ -39,11 +39,31 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * while durable writers stage under `stateDir/_staging` so a crashed
   * run's leftovers are visible next to the state they served and are
   * swept once two later commits supersede them.
+  *
+  * NAMESPACING (ADVICE r4): the staging root is scoped PER WRITER
+  * IDENTITY — `stateDir/_staging/<ns>` where ns derives from the
+  * writer's checkpoint location (the same identity StreamProgress binds
+  * the resume position to). Two stream writers pointed at one stateDir
+  * with distinct checkpoint lineages therefore cannot collide on
+  * batch-N dir names, and one writer's release can never sweep the
+  * other's live staged batches — release and the crash-leftover sweep
+  * act only inside the writer's own namespace. A restart of the SAME
+  * writer (same checkpoint spelling — the StreamProgress contract)
+  * lands in the same namespace, so its crashed leftovers are swept by
+  * its own commits exactly as before. Identity-less writers share the
+  * `default` namespace: concurrent identity-less writers on one
+  * stateDir remain the caller's responsibility (they are already
+  * unsound one level down — StateStore epochs would interleave). A
+  * namespace abandoned by retiring a checkpoint location leaks its last
+  * retained generation, the same bound as the abandoned engine
+  * checkpoint dir itself.
   */
-final class BatchStage(stateDir: Option[String]) {
+final class BatchStage(stateDir: Option[String], writerId: Option[String] = None) {
 
   private val root: String = stateDir match {
-    case Some(d) => s"$d/_staging"
+    case Some(d) =>
+      val ns = writerId.map(id => f"w-${StreamProgress.streamId(id)}%016x").getOrElse("default")
+      s"$d/_staging/$ns"
     case None =>
       val d = java.nio.file.Files.createTempDirectory("graft_stage").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() =>

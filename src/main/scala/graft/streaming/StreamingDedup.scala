@@ -93,7 +93,7 @@ object StreamingDedup {
       if (skipReplayed)
         stateDir.map(StreamProgress.resumePosition(bands.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
-    val stage = new BatchStage(stateDir)
+    val stage = new BatchStage(stateDir, checkpointLocation)
     var batches = 0L
     val w = bands.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -152,7 +152,7 @@ object StreamingDedup {
       if (skipReplayed)
         stateDir.map(StreamProgress.resumePosition(sigs.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
-    val stage = new BatchStage(stateDir)
+    val stage = new BatchStage(stateDir, checkpointLocation)
     var batches = 0L
     val w = sigs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -204,7 +204,7 @@ object StreamingDedup {
       if (skipReplayed)
         stateDir.map(StreamProgress.resumePosition(events.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
-    val stage = new BatchStage(stateDir)
+    val stage = new BatchStage(stateDir, checkpointLocation)
     var batches = 0L
     val w = events.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

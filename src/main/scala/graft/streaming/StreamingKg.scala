@@ -83,7 +83,7 @@ object StreamingKg {
       if (skipReplayed)
         stateDir.map(StreamProgress.resumePosition(docs.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
-    val stage = new BatchStage(stateDir)
+    val stage = new BatchStage(stateDir, checkpointLocation)
     var batches = 0L
     val w = docs.writeStream.foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
       if (batchId > resumeAfter && !batch.isEmpty) {
@@ -125,7 +125,7 @@ object StreamingKg {
       if (skipReplayed)
         stateDir.map(StreamProgress.resumePosition(events.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
-    val stage = new BatchStage(stateDir)
+    val stage = new BatchStage(stateDir, checkpointLocation)
     var batches = 0L
     val w = events.writeStream.foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
       if (batchId > resumeAfter && !batch.isEmpty) {

@@ -57,7 +57,7 @@ object StreamingVocab {
       if (skipReplayed)
         stateDir.map(StreamProgress.resumePosition(docs.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
-    val stage = new BatchStage(stateDir)
+    val stage = new BatchStage(stateDir, checkpointLocation)
     var batches = 0L
     val w = docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -109,7 +109,7 @@ object StreamingVocab {
       if (skipReplayed)
         stateDir.map(StreamProgress.resumePosition(events.sparkSession, _, sid)).getOrElse(-1L)
       else -1L
-    val stage = new BatchStage(stateDir)
+    val stage = new BatchStage(stateDir, checkpointLocation)
     var batches = 0L
     val w = events.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>

@@ -58,27 +58,31 @@ object IncrementalVocab {
     * drive some token's count NEGATIVE (tokens present in the tombstone
     * text but not the added text). Before round 4 the `df > 0` filter
     * silently DROPPED such rows — corrupting the vocabulary with no
-    * signal (ADVICE r3). The guard raises on the first action that
-    * touches a negative count instead: it rides the df/tf columns
-    * themselves (not a droppable assert column), so Catalyst cannot
-    * prune it, and it costs one codegen'd conditional on the
+    * signal (ADVICE r3). The guard is ONE filter predicate (a single
+    * CaseWhen, not a splittable conjunction): it raises on `df < 0 OR
+    * tf < 0` and only otherwise evaluates the `df > 0` keep-condition —
+    * so the drop can never be pushed below the guard and a row with
+    * df = 0 but tf < 0 (a tombstone over-subtracting tf while df
+    * cancels) raises instead of vanishing (ADVICE r4; the earlier
+    * column-riding form only fired when a consumer actually read the
+    * guarded column). Costs one codegen'd conditional on the
     * O(vocabulary) state. Tokens the tombstone under-counts (present in
     * the addition but not the tombstone) remain undetectable without a
     * per-doc contribution table — that residual contract is documented
     * at the CDC writer (StreamingVocab.vocabWriterCdc). */
-  private def guarded(c: String) =
-    when(col(c) < 0, raise_error(concat(
-      lit(s"IncrementalVocab: negative $c for token '"), col("tok"),
-      lit("' — a retraction tombstone did not match a prior addition"))))
-      .otherwise(col(c)).as(c)
+  private def guardedKeep =
+    when(col("df") < 0 || col("tf") < 0, raise_error(concat(
+      lit("IncrementalVocab: negative count for token '"), col("tok"),
+      lit("' — a retraction tombstone did not match a prior addition")))
+      .cast("boolean"))
+      .otherwise(col("df") > 0)
 
   private def fold(state: VocabState, contrib: DataFrame): VocabState =
     VocabState(cut(
       state.counts.unionByName(contrib)
         .groupBy(col("tok"))
         .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"))
-        .select(col("tok"), guarded("df"), guarded("tf"))
-        .filter(col("df") > 0)))
+        .filter(guardedKeep)))
 
   /** Merge a delta doc batch into the state (one token-key shuffle). */
   def delta(state: VocabState, docs: DataFrame): VocabState =

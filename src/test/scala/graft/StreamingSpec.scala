@@ -214,7 +214,8 @@ class StreamingSpec extends SparkTestBase {
       b1.schema.map(f => (f.name, f.dataType)))
     assert(pinned1.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     def staged(): Set[String] = {
-      val fs = new java.io.File(s"$stateDir/_staging").listFiles()
+      // identity-less writers stage under the `default` namespace
+      val fs = new java.io.File(s"$stateDir/_staging/default").listFiles()
       if (fs == null) Set.empty else fs.map(_.getName).toSet
     }
     assert(staged() == Set("batch-0"))
@@ -231,12 +232,35 @@ class StreamingSpec extends SparkTestBase {
     assert(staged() == Set("batch-1"))
     stage.release()
     assert(staged() == Set.empty)
-    // a crashed-run leftover under the same root is swept, retained
+    // a crashed-run leftover under the same namespace is swept, retained
     // generations are not
-    Files.createDirectories(java.nio.file.Paths.get(s"$stateDir/_staging/batch-99"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$stateDir/_staging/default/batch-99"))
     stage.pin(Seq((4L, "d")).toDF("id", "v"), 2L)
     stage.release()
     assert(staged() == Set("batch-2"))
+  }
+
+  test("BatchStage: per-writer namespaces isolate two writers on one stateDir (ADVICE r4)") {
+    import graft.streaming.BatchStage
+    val stateDir = Files.createTempDirectory("stage2").toString
+    val a = new BatchStage(Some(stateDir), Some("/ckpt/writerA"))
+    val b = new BatchStage(Some(stateDir), Some("/ckpt/writerB"))
+    // the SAME batchId in both writers: distinct namespaces, no collision
+    val pa = a.pin(Seq((1L, "a")).toDF("id", "v"), 0L)
+    val pb = b.pin(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), 0L)
+    assert(pa.count() == 1 && pb.count() == 2)
+    // writer A commits twice (full retention cycle): B's live staged
+    // batch — same stateDir, same batch-0 name — must survive untouched
+    a.release(); a.release()
+    assert(pb.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val namespaces = new java.io.File(s"$stateDir/_staging").listFiles().map(_.getName).toSet
+    assert(namespaces.size == 2 && namespaces.forall(_.startsWith("w-")), namespaces)
+    // a restart of writer A (same checkpoint spelling) lands in the same
+    // namespace, so its own crash leftovers are governed by its commits
+    val a2 = new BatchStage(Some(stateDir), Some("/ckpt/writerA"))
+    a2.pin(Seq((9L, "z")).toDF("id", "v"), 5L)
+    a2.release(); a2.release()
+    assert(pb.count() == 2)
   }
 
   test("StreamProgress: identity-bound resume + backward epoch walk (ADVICE r3)") {

@@ -65,6 +65,22 @@ class VocabSpec extends SparkTestBase {
     assert(rows(good.counts) == rows(st.counts))
   }
 
+  test("IncrementalVocab: df-cancelling tf over-subtraction raises, not silently drops (ADVICE r4)") {
+    import spark.implicits._
+    val st = IncrementalVocab.initial(Seq((1L, "beta")).toDF("doc_id", "text"))
+    // tombstone whose df contribution cancels exactly (df 1−1 = 0) while
+    // tf over-subtracts (tf 1−2 = −1): the round-4 column-riding guard
+    // never fired here because the df > 0 drop ran first — the combined
+    // filter predicate must raise before dropping
+    val bad = Seq((1L, "beta beta")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      IncrementalVocab.retract(st, bad).counts.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative count")), msgs(e).mkString(" | "))
+  }
+
   test("IncrementalVocab: streamed micro-batches equal the batch table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -6,8 +6,12 @@ Usage: oracle_check.py <verify_out_dir> <sf_dir>
 For each query parquet dir written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json against the sf_dir parquet tables
 (registered as views named by file basename), sorts columns by name and
-rows by value, and compares cell-by-cell (floats to 1e-9 rel).
-Exit 0 iff all queries match.
+rows by value, and compares cell-by-cell (floats rounded to 9 places).
+TYPE-STRICT: an integer cell never equals a float cell (Python's
+`19525 == 19525.0` is True, which hid a Spark-BIGINT vs DuckDB-HUGEINT
+divergence from this harness for a round while the driver's hash
+compare failed it) — floats are tagged so cross-type equality is
+impossible. Exit 0 iff all queries match.
 """
 import sys, os, json, glob, math
 import duckdb
@@ -16,7 +20,7 @@ def norm(v):
     if hasattr(v, 'tolist') and not isinstance(v, (int, float)):
         return tuple(norm(x) for x in v.tolist())
     if isinstance(v, float):
-        return round(v, 9)
+        return ('f', round(v, 9))
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
