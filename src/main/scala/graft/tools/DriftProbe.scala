@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.candidates.{BucketIndex, IndexGeometry, ScoredTopK}
+import graft.candidates.{BucketIndex, DriftMonitor, IndexGeometry, ScoredTopK}
 import graft.embed.Embedder
 import graft.kg.Emb
 import graft.util.DetHash
@@ -42,17 +42,17 @@ import graft.util.DetHash
   */
 object DriftProbe {
 
-  private def unitNoise(dim: Int, seed: Long, i: Long, tag: Long): Array[Float] =
+  def unitNoise(dim: Int, seed: Long, i: Long, tag: Long): Array[Float] =
     Array.tabulate(dim)(j =>
       (DetHash.toUnit(DetHash.h3(seed, i, j, tag)) - 0.5).toFloat)
 
-  private def normalize(v: Array[Float]): Array[Float] = {
+  def normalize(v: Array[Float]): Array[Float] = {
     val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
     v.map(_ / n)
   }
 
   /** unit vector near `pole`: normalize(pole + spread · noise). */
-  private def around(pole: Array[Float], spread: Double, seed: Long,
+  def around(pole: Array[Float], spread: Double, seed: Long,
                      i: Long, tag: Long): Array[Float] = {
     val nz = unitNoise(pole.length, seed, i, tag)
     normalize(pole.indices.map(j => (pole(j) + spread * nz(j)).toFloat).toArray)
@@ -60,7 +60,7 @@ object DriftProbe {
 
   /** deterministic calibration sample — the bootstrap's sampling law
     * (order statistics over ascending ids). */
-  private def sampleOf(corpus: Array[Emb], n: Int): Array[Emb] = {
+  def sampleOf(corpus: Array[Emb], n: Int): Array[Emb] = {
     val ids = ScoredTopK.sampleIdsOf(corpus.map(_.id), n).toSet
     corpus.filter(e => ids.contains(e.id))
   }
@@ -130,5 +130,19 @@ object DriftProbe {
     println(f"[drift] pre-drift   frozen-geometry recall@$k=$r0%.3f candMass=$m0%.1f (corpus=A, the population it was fit on)")
     println(f"[drift] post-drift  frozen-geometry recall@$k=$rF%.3f (drifted-B queries: $rFb%.3f) candMass=$mF%.1f")
     println(f"[drift] post-drift  REFIT geometry  recall@$k=$rR%.3f (drifted-B queries: $rRb%.3f) candMass=$mR%.1f (the rebootstrap path)")
+
+    // ---- drift MONITOR readings (round 5): the per-delta score
+    // IncrementalAlign.refresh now computes from the delta corpus +
+    // calibration sample — a same-population batch must stay quiet,
+    // the drifted ingest must advise rebootstrap ----
+    val sampleA = sampleOf(corpusA, 512)
+    val preBatch = Array.tabulate(nB)(i =>
+      Emb((nA + nB + i).toLong, around(uA, spreadA, seed, i, 4)))
+    val sPre = DriftMonitor.assess(preBatch, sampleA, gFrozen, 1.0).get
+    val sPost = DriftMonitor.assess(corpusB, sampleA, gFrozen, 1.0).get
+    val sRefit = DriftMonitor.assess(corpusB, sampleOf(corpus, 512), gRefit, 1.0).get
+    println(s"[drift] monitor same-population batch (must be quiet): $sPre")
+    println(s"[drift] monitor drifted batch (must advise):           $sPost")
+    println(s"[drift] monitor drifted batch after REFIT:             $sRefit")
   }
 }

@@ -536,6 +536,74 @@ class IncrementalSpec extends SparkTestBase {
     assert(canonBag(viaReb) == canonBag(viaFresh))
   }
 
+  test("drift monitor: fires on the two-pole drift fixture, quiet pre-drift, surfaced from delta") {
+    import graft.candidates.{DriftMonitor, IndexGeometry}
+    import graft.kg.Emb
+    import graft.tools.DriftProbe.{around, normalize, sampleOf, unitNoise}
+    // ---- unit gate on the DriftProbe two-pole construction (the
+    // measured silent-decay fixture: recall 0.93 → 0.60 under the
+    // frozen geometry while candidate mass stays low, BENCH.md) ----
+    val dim = 32; val n = 2000; val seed = 37L
+    val uA = normalize(unitNoise(dim, seed, 1L, 900))
+    val uB = normalize(unitNoise(dim, seed, 2L, 901))
+    val corpusA = Array.tabulate(n)(i => Emb(i.toLong, around(uA, 0.35, seed, i, 1)))
+    val driftedB = Array.tabulate(n)(i => Emb((n + i).toLong, around(uB, 1.2, seed, i, 2)))
+    val sameA = Array.tabulate(n)(i => Emb((2 * n + i).toLong, around(uA, 0.35, seed, i, 4)))
+    val gFrozen = IndexGeometry.fit(sampleOf(corpusA, 512), bands = 16, rows = 2)
+    // a same-population batch stays quiet under the frozen fit
+    val quiet = DriftMonitor.assess(sameA, sampleOf(corpusA, 512), gFrozen, 1.0).get
+    assert(!quiet.rebootstrapAdvised, quiet.toString)
+    assert(math.abs(quiet.widthRatio - 1.0) < 0.2, quiet.toString)
+    // the drifted ingest fires — this is the silent-recall-decay state
+    val fired = DriftMonitor.assess(driftedB, sampleOf(corpusA, 512), gFrozen, 1.0).get
+    assert(fired.rebootstrapAdvised, fired.toString)
+    // after the advised re-fit (the rebootstrap sampling law over the
+    // grown corpus) the same batch is quiet again
+    val gRefit = IndexGeometry.fit(sampleOf(corpusA ++ driftedB, 512), bands = 16, rows = 2)
+    val recovered = DriftMonitor.assess(driftedB, sampleOf(corpusA ++ driftedB, 512), gRefit, 1.0).get
+    assert(!recovered.rebootstrapAdvised, recovered.toString)
+    // degenerate inputs answer quietly with None, never a false alarm
+    assert(DriftMonitor.assess(Array.empty[Emb], sampleOf(corpusA, 512), gFrozen, 1.0).isEmpty)
+    assert(DriftMonitor.assess(sameA, corpusA.take(1), gFrozen, 1.0).isEmpty)
+
+    // ---- integration: the score is surfaced from delta() on the
+    // indexed path; exact mode and rebootstrap carry None ----
+    val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
+    val s1 = IncrementalAlign.initial(spark, d1, e1, icfgIdx)
+    assert(s1.drift.isEmpty)
+    val s2 = IncrementalAlign.delta(spark, s1, d2, e2, icfgIdx)
+    assert(s2.drift.isDefined, "indexed delta must surface a drift reading")
+    assert(s2.drift.get.deltaRows > 0)
+    // the synthetic delta is same-distribution: the monitor stays quiet
+    assert(!s2.drift.get.rebootstrapAdvised, s2.drift.get.toString)
+    assert(IncrementalAlign.rebootstrap(spark, s2, icfgIdx).drift.isEmpty)
+    val sx1 = IncrementalAlign.initial(spark, d1, e1, icfg)
+    assert(IncrementalAlign.delta(spark, sx1, d2, e2, icfg).drift.isEmpty)
+  }
+
+  test("exact-mode bootstrap collect is size-gated: at the cap unchanged, above it refuses naming useIndex") {
+    val ((d1, e1), _) = splitFixture(10, 20)
+    val nKg2 = e1.filter(_.kg == 2).count()
+    assert(nKg2 > 1)
+    // AT the cap: gate passes and the state is bit-identical to the
+    // ungated exact path (the probe is read-only)
+    val ok = IncrementalAlign.initial(spark, d1, e1,
+      icfg.copy(exactBootstrapMaxRows = nKg2))
+    val base = IncrementalAlign.initial(spark, d1, e1, icfg)
+    assert(topkMap(ok) == topkMap(base))
+    assert(acceptedSet(ok) == acceptedSet(base))
+    // ABOVE the cap: refuse loudly, naming the designed alternative
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAlign.initial(spark, d1, e1,
+        icfg.copy(exactBootstrapMaxRows = nKg2 - 1))
+    }
+    assert(ex.getMessage.contains("useIndex"), ex.getMessage)
+    // the indexed mode never hits the gate (no corpus collect to guard)
+    val idx = IncrementalAlign.initial(spark, d1, e1,
+      icfgIdx.copy(exactBootstrapMaxRows = 1))
+    assert(idx.geometry.isDefined)
+  }
+
   test("incremental deltas compose: two batches equal one from-scratch run") {
     val ((d1, e1), (d2mid, e2mid)) = splitFixture(25, 40)
     val ((_, _), (d3, e3)) = splitFixture(40, 55)
