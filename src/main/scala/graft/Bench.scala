@@ -264,28 +264,32 @@ object Bench {
     * BenchSpec. */
   def renderJson(results: Seq[(String, Double, Boolean)], sfDir: String,
                  kg: Option[KgBench], host: Option[(Double, Double)] = None,
-                 sys: Option[(Double, Double)] = None): String = {
+                 sys: Option[(Double, Double)] = None,
+                 kg768: Option[KgBench] = None): String = {
     val failed = results.filterNot(_._3).map(_._1)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val kgJson = kg.map { b =>
+    def kgObj(name: String, b: KgBench): String = {
       val thN = b.docs / b.secN
       val th4N = b.docs / b.sec4N
       val eff = th4N / ((b.nHigh.toDouble / b.nLow) * thN)
-      s""","kg_bench":{"docs":${b.docs},"dim":${b.dim},"cores_n":${b.nLow},"cores_4n":${b.nHigh},""" +
+      s""","$name":{"docs":${b.docs},"dim":${b.dim},"cores_n":${b.nLow},"cores_4n":${b.nHigh},""" +
         f""""sec_n":${b.secN}%.2f,"sec_4n":${b.sec4N}%.2f,"docs_per_sec_n":$thN%.1f,""" +
         f""""docs_per_sec_4n":$th4N%.1f,"samples_n":${b.samplesN},"samples_4n":${b.samples4N},""" +
         f""""scaling_efficiency":$eff%.3f}"""
-    }.getOrElse("")
+    }
+    val kgJson = kg.map(kgObj("kg_bench", _)).getOrElse("")
+    // reference-dimension secondary evidence (env-gated; VERDICT r4 #5)
+    val kg768Json = kg768.map(kgObj("kg_bench_768", _)).getOrElse("")
     val hostJson = host.map { case (t1, tn) =>
       f""","host_page_alloc_mb_s":{"t1":$t1%.0f,"tn":$tn%.0f}"""
     }.getOrElse("")
     val sysJson = sys.map { case (sn, s4n) =>
       f""","cpu_sys_share":{"n":$sn%.2f,"4n":$s4n%.2f}"""
     }.getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$kgJson$hostJson$sysJson}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$kgJson$kg768Json$hostJson$sysJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -349,11 +353,11 @@ object Bench {
     // engine-measuring samples from host-inflated ones
     val levelSys = scala.collection.mutable.Map.empty[Int, Double]
     val levelBest = scala.collection.mutable.Map.empty[Int, Double]
-    def level(c: Int, e: Int): (Long, Double) = {
+    def level(c: Int, e: Int, d: Int = dim): (Long, Double) = {
       System.gc()
       val s = session(c, benchParts, nHigh)
       val j0 = cpuJiffies()
-      val r = pipelineRun(s, e, dim)
+      val r = pipelineRun(s, e, d)
       sysShare(j0, cpuJiffies()).foreach { share =>
         if (r._2 < levelBest.getOrElse(c, Double.MaxValue)) {
           levelBest(c) = r._2; levelSys(c) = share
@@ -365,24 +369,28 @@ object Bench {
 
     var samplesN = List.empty[(Long, Double)]
     var samples4N = List.empty[(Long, Double)]
-    // per rung: (docs, samplesN, samples4N, final line) — feeds the
-    // best-evidence re-emit after the ladder stops
-    val rungFinal = scala.collection.mutable.Map.empty[Int, (Long, Int, Int, String)]
+    // per rung: (docs, samplesN, samples4N, final line, kg, sys) — feeds
+    // the best-evidence re-emit after the ladder stops and the optional
+    // dim-768 augmented tail
+    val rungFinal =
+      scala.collection.mutable.Map.empty[Int, (Long, Int, Int, String, KgBench, Option[(Double, Double)])]
+    def bestRungIdx: Int = {
+      val ordered = rungFinal.toSeq.sortBy(_._1)
+      ordered(bestEvidence(ordered.map { case (_, (d, sn, s4n, _, _, _)) => (d, sn, s4n) }))._1
+    }
     def emitKg(rungIdx: Int): Unit =
       if (samplesN.nonEmpty && samples4N.nonEmpty) {
         val (docs, secN) = samplesN.minBy(_._2)
         val sec4N = samples4N.map(_._2).min
         val sys = for (a <- levelSys.get(nLow); b <- levelSys.get(nHigh)) yield (a, b)
-        val line = renderJson(results, sfDir,
-          Some(KgBench(docs, dim, nLow, nHigh, secN, sec4N, samplesN.size, samples4N.size)),
-          Some(host), sys)
-        rungFinal(rungIdx) = (docs, samplesN.size, samples4N.size, line)
+        val kg = KgBench(docs, dim, nLow, nHigh, secN, sec4N, samplesN.size, samples4N.size)
+        val line = renderJson(results, sfDir, Some(kg), Some(host), sys)
+        rungFinal(rungIdx) = (docs, samplesN.size, samples4N.size, line, kg, sys)
         emit(line)
         // keep the TAIL line (the one the driver parses) the
         // best-evidence rung at every moment — a kill mid-rung must not
         // leave a samples_n=1 escalation displacing a de-noised rung
-        val ordered = rungFinal.toSeq.sortBy(_._1)
-        val bestIdx = ordered(bestEvidence(ordered.map { case (_, (d, sn, s4n, _)) => (d, sn, s4n) }))._1
+        val bestIdx = bestRungIdx
         if (bestIdx != rungIdx) emit(rungFinal(bestIdx)._4)
       }
 
@@ -437,5 +445,32 @@ object Bench {
       }
     }
     System.err.println(f"[bench] done: E=${rungs(idx)} samples_n=${samplesN.size} samples_4n=${samples4N.size} elapsed $elapsed%.0f s of $budgetSec%.0f s")
+
+    // ---- OPTIONAL reference-dimension pair (VERDICT r4 #5): one
+    // 4N-then-N pair at dim 768 on the TOP COMPLETED rung, appended to
+    // the best-evidence tail as `kg_bench_768`. Env-gated and OFF by
+    // default — the dim-768 pair costs ~3× the dim-256 pair (bytes-
+    // linear shuffle, BENCH.md round-4 measurement), and running it
+    // unconditionally would risk the driver's rc-0 window; enable with
+    // SPARK_GRAFT_BENCH_768=1 (rehearsal evidence in BENCH.md). Each
+    // level is budget-gated off the measured dim-256 cost × 3 with the
+    // ladder's margins; an incomplete pair leaves the tail untouched. ----
+    val want768 = sys.env.get("SPARK_GRAFT_BENCH_768").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    if (want768 && rungFinal.nonEmpty) {
+      val e768 = rungs(idx)
+      val est4N = samples4N.map(_._2).min * 3.0
+      val estN = samplesN.map(_._2).min * 3.0
+      if (elapsed + 1.3 * est4N < budgetSec) {
+        val s4 = level(nHigh, e768, 768)
+        if (elapsed + 1.15 * estN < budgetSec) {
+          val sN = level(nLow, e768, 768)
+          val b768 = KgBench(sN._1, 768, nLow, nHigh, sN._2, s4._2, 1, 1)
+          val (_, _, _, _, kgBest, sysBest) = rungFinal(bestRungIdx)
+          emit(renderJson(results, sfDir, Some(kgBest), Some(host), sysBest, Some(b768)))
+          System.err.println(f"[bench] kg_bench_768 pair done at E=$e768 (elapsed $elapsed%.0f s)")
+        } else System.err.println("[bench] kg_bench_768: N level does not fit the budget; skipped")
+      } else System.err.println("[bench] kg_bench_768: 4N level does not fit the budget; skipped")
+    }
   }
 }

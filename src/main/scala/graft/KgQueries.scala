@@ -173,10 +173,19 @@ object KgQueries {
     * typed metadata, batched per-partition feature extraction.
     *
     * The decode step is a DETERMINISTIC STUB (no image/audio libs ship
-    * in this container): bytes → seeded hash features. The Spark-side
-    * contract — binary column, metadata struct, partition-batched
-    * extraction kernel, fixed-length float feature output — is real and
-    * is exactly what a libjpeg/ffmpeg kernel would plug into. */
+    * in this container): bytes → 8 per-stride group sums, L2-normalized
+    * and quantized into one fingerprint column (the driver comparator
+    * can't hash arrays). The Spark-side contract — binary column,
+    * metadata struct, partition-batched extraction kernel, fixed-length
+    * feature output — is real and is exactly what a libjpeg/ffmpeg
+    * kernel would plug into. The per-row arithmetic is kept
+    * INTEGER-EXACT until one sqrt/divide/round (group sums are integer,
+    * the norm is `sqrt` of an integer — correctly-rounded IEEE on both
+    * engines), so since round 5 this query is ORACLE-CHECKED: the
+    * DuckDB twin recovers the UTF-8 payload bytes through
+    * `hex(encode(text))` digit arithmetic and replays the same
+    * fold (VERDICT r4 next #6; the earlier float32 accumulator was the
+    * one part SQL could not replicate bit-for-bit). */
   def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = spark.read.parquet(s"$dir/documents.parquet")
@@ -185,22 +194,55 @@ object KgQueries {
         struct(col("lang").as("codec"), col("n_chars").as("n_bytes")).as("meta"))
     val ds = media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      // one "decoder init" per partition; rows processed in batches.
-      // Output is SCALAR-only (the driver comparator can't hash arrays):
-      // the float feature vector is quantized into one fingerprint column.
+      // one "decoder init" per partition; rows processed in batches
       it.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
-        val feat = new Array[Float](8)
+        val s = new Array[Long](8)
         var i = 0
         while (i < bytes.length) {
-          feat(i % 8) += (bytes(i) & 0xff) / 255.0f // ??? real decode goes here
+          s(i % 8) += (bytes(i) & 0xff) // ??? real decode goes here
           i += 1
         }
-        val norm = graft.embed.Embedder.l2normalize(feat)
-        val fp = norm.foldLeft(0L)((acc, f) => acc * 31 + math.round(f * 1000.0f))
-        (id, bytes.length, fp)
+        var ss = 0.0
+        var j = 0
+        while (j < 8) { ss += s(j).toDouble * s(j); j += 1 }
+        val norm = math.sqrt(ss)
+        var fp = 0L
+        j = 0
+        while (j < 8) {
+          fp = fp * 31 + (if (norm == 0.0) 0L else math.round(1000.0 * s(j) / norm))
+          j += 1
+        }
+        (id, bytes.length.toLong, fp)
       })
     }.toDF("doc_id", "n_bytes", "feat_fp")
   }
+
+  /** DuckDB twin of [[qMediaFeatures]]: UTF-8 payload bytes recovered
+    * from hex digits, the same 8-group integer sums (a 8-row spine keeps
+    * empty groups at 0), and the same ordered fold — integer arithmetic
+    * plus one sqrt/divide/round shared op-for-op with the kernel. */
+  val qMediaFeaturesSql =
+    """WITH d AS (SELECT doc_id, strlen(text) AS n_bytes, hex(encode(text)) AS h FROM documents),
+       bytes AS (
+         SELECT doc_id, i % 8 AS grp,
+           (strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+         FROM (SELECT doc_id, h, unnest(range(0, n_bytes)) AS i FROM d)),
+       gs AS (
+         SELECT d.doc_id, j.grp, coalesce(s.s, 0) AS s
+         FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS grp) j
+         LEFT JOIN (SELECT doc_id, grp, sum(byte) AS s FROM bytes GROUP BY 1, 2) s
+           ON s.doc_id = d.doc_id AND s.grp = j.grp),
+       vec AS (
+         SELECT doc_id, list(s ORDER BY grp) AS ss,
+                sqrt(CAST(sum(s*s) AS DOUBLE)) AS nn
+         FROM gs GROUP BY doc_id)
+       SELECT v.doc_id, CAST(d.n_bytes AS BIGINT) AS n_bytes,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(ss, s -> CAST(CASE WHEN nn = 0 THEN 0
+             ELSE round(1000.0 * s / nn) END AS BIGINT))),
+           (acc, v) -> acc * 31 + v) AS feat_fp
+       FROM vec v JOIN d ON v.doc_id = d.doc_id"""
 
   /** Frame-sample the stand-in media payloads (stride 32) and emit the
     * per-doc frame inventory. The DuckDB twin derives the same counts
@@ -239,7 +281,8 @@ object KgQueries {
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_media_frames" -> (qMediaFrames _, qMediaFramesSql),
-    "q_media_resize" -> (qMediaResize _, qMediaResizeSql))
+    "q_media_resize" -> (qMediaResize _, qMediaResizeSql),
+    "q_media_features" -> (qMediaFeatures _, qMediaFeaturesSql))
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kg_canonical_triples" -> (qKgCanonicalTriples _),
@@ -251,6 +294,5 @@ object KgQueries {
     "q_kg_incremental" -> (qKgIncremental _),
     "q_kg_retract" -> (qKgRetract _),
     "q_kg_indexed" -> (qKgIndexed _),
-    "q_kg_rebootstrap" -> (qKgRebootstrap _),
-    "q_media_features" -> (qMediaFeatures _))
+    "q_kg_rebootstrap" -> (qKgRebootstrap _))
 }

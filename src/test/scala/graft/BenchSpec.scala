@@ -109,6 +109,20 @@ class BenchSpec extends AnyFunSuite {
     assert(s.contains("\"scaling_efficiency\":0.898"), s)
   }
 
+  test("kg_bench_768 secondary object rides the tail line when supplied (VERDICT r4 #5)") {
+    val kg = Bench.KgBench(100000L, 256, 2, 8, 704.1, 196.0, 2, 2)
+    val b768 = Bench.KgBench(100000L, 768, 2, 8, 2100.0, 620.0, 1, 1)
+    val s = Bench.renderJson(battery, "/tmp/sf", Some(kg), kg768 = Some(b768))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    // the primary kg_bench stays intact, the secondary rides alongside
+    assert(s.contains("\"kg_bench\":{\"docs\":100000,\"dim\":256"), s)
+    assert(s.contains("\"kg_bench_768\":{\"docs\":100000,\"dim\":768"), s)
+    // eff = (100000/620) / (4 * 100000/2100) = 2100 / (4*620) = 0.847
+    assert(s.indexOf("\"scaling_efficiency\":0.847") > s.indexOf("kg_bench_768"), s)
+    // absent by default — the driver ladder's tail is unchanged
+    assert(!Bench.renderJson(battery, "/tmp/sf", Some(kg)).contains("kg_bench_768"))
+  }
+
   test("host calibration section renders and stays complete JSON") {
     val kg = Bench.KgBench(100000L, 256, 2, 8, 704.1, 196.0, 1, 1)
     val s = Bench.renderJson(battery, "/tmp/sf", Some(kg), Some((1412.3, 87.9)))

@@ -263,6 +263,29 @@ class StreamingSpec extends SparkTestBase {
     assert(pb.count() == 2)
   }
 
+  test("BatchStage: shape edge cases — zero-row batch, empty partitions, wide batch") {
+    import graft.streaming.BatchStage
+    val stage = new BatchStage(Some(Files.createTempDirectory("stage3").toString))
+    // zero-row micro-batch: the parquet stage writes no data files, so
+    // the read-back works ONLY because pin binds the batch's own schema
+    // (schema inference over an empty dir would throw)
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val p0 = stage.pin(empty, 0L)
+    assert(p0.count() == 0)
+    assert(p0.schema.map(f => (f.name, f.dataType)) ==
+      empty.schema.map(f => (f.name, f.dataType)))
+    // wide batch with empty partitions: fidelity is exact row content,
+    // not partitioning (64 partitions over 100 rows leaves many empty)
+    val wide = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v")
+      .repartition(64)
+    val pw = stage.pin(wide, 1L)
+    assert(pw.count() == 100)
+    assert(pw.selectExpr("sum(id)").collect()(0).getLong(0) == 4950L)
+    assert(pw.selectExpr("count(DISTINCT v)").collect()(0).getLong(0) == 100L)
+    // release cycles sweep both shapes without error
+    stage.release(); stage.release()
+  }
+
   test("StreamProgress: identity-bound resume + backward epoch walk (ADVICE r3)") {
     import graft.streaming.StreamProgress
     import graft.tableio.StateStore
