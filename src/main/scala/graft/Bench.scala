@@ -257,6 +257,22 @@ object Bench {
     else None
   }
 
+  /** Budget visible to the beyond-2+2 DE-NOISING extras when the
+    * dim-768 secondary pair is requested: the reserve mirrors the 768
+    * pair's admission gates (3× each level's min — the bytes-linear
+    * shuffle factor — times the ladder margins). While the pair is
+    * still BALANCING to 2+2 the full budget applies: the primary
+    * tail's evidence standard outranks the secondary dim point, which
+    * outranks extra de-noising. (The first cut of this reservation
+    * gated ALL extras and starved a live rehearsal's primary tail to
+    * samples 1+1 — the regression this function's tests pin.) Pure —
+    * unit-tested in BenchSpec. */
+  def extrasBudgetFor(budget: Double, want768: Boolean, samplesN: Int, samples4N: Int,
+                      minN: Double, min4N: Double): Double = {
+    val balancing = samplesN < 2 || samples4N < 2
+    if (want768 && !balancing) budget - 3.0 * (1.3 * min4N + 1.15 * minN) else budget
+  }
+
   /** One complete JSON line in the driver's schema. `kg` present only
     * once both scaling levels have at least one sample; `host` carries
     * the [[allocProbe]] page-allocation rates (single-threaded, at-4N)
@@ -429,6 +445,19 @@ object Bench {
     // rung (robust re-sample gates, see nextExtra)
     var predN = Double.PositiveInfinity
     var pred4N = Double.PositiveInfinity
+    // with the dim-768 pair requested, only the BEYOND-2+2 de-noising
+    // extras yield budget to it (~3× the current pair — the bytes-linear
+    // shuffle factor, BENCH.md round-4). Priority is strict: escalation
+    // and the balance-to-2+2 samples keep the FULL budget — the primary
+    // tail's evidence standard (full rung, ≥2 samples per level)
+    // outranks the secondary dim point, which outranks extra de-noising
+    // (the 2+2 minima are already consistent estimators, bestEvidence).
+    // First cut of this reservation gated ALL extras and starved the
+    // primary tail to 1+1 — regression-gated in BenchSpec.
+    val want768 = sys.env.get("SPARK_GRAFT_BENCH_768").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    def extrasBudget: Double = extrasBudgetFor(budgetSec, want768,
+      samplesN.size, samples4N.size, samplesN.map(_._2).min, samples4N.map(_._2).min)
     while (cont) {
       if (nextRung(rungs, idx, elapsed, budgetSec, pairCost)) {
         val ratio = math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6)
@@ -437,7 +466,7 @@ object Bench {
         idx += 1
         System.err.println(f"[bench] escalating to E=${rungs(idx)} at elapsed $elapsed%.0f s")
         runPair(idx)
-      } else nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, budgetSec,
+      } else nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, extrasBudget,
         samplesN.map(_._2).min, samples4N.map(_._2).min, predN, pred4N) match {
         case Some(true)  => samples4N ::= level(nHigh, rungs(idx)); emitKg(idx)
         case Some(false) => samplesN ::= level(nLow, rungs(idx)); emitKg(idx)
@@ -455,8 +484,6 @@ object Bench {
     // SPARK_GRAFT_BENCH_768=1 (rehearsal evidence in BENCH.md). Each
     // level is budget-gated off the measured dim-256 cost × 3 with the
     // ladder's margins; an incomplete pair leaves the tail untouched. ----
-    val want768 = sys.env.get("SPARK_GRAFT_BENCH_768").exists(v =>
-      v == "1" || v.equalsIgnoreCase("true"))
     if (want768 && rungFinal.nonEmpty) {
       val e768 = rungs(idx)
       val est4N = samples4N.map(_._2).min * 3.0

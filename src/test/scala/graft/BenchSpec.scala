@@ -123,6 +123,25 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.renderJson(battery, "/tmp/sf", Some(kg)).contains("kg_bench_768"))
   }
 
+  test("768 reservation never starves the balance-to-2+2 samples (live-rehearsal regression)") {
+    // the live failure: full-rung first pair N=200/4N=50, flag on — the
+    // all-extras reservation left extrasBudget ≈ 30 s and the run died
+    // at samples 1+1 (not the driver's evidence shape). While balancing,
+    // the FULL budget must apply regardless of the flag:
+    assert(Bench.extrasBudgetFor(780, want768 = true, samplesN = 1, samples4N = 1,
+      minN = 200, min4N = 50) == 780.0)
+    assert(Bench.extrasBudgetFor(780, want768 = true, samplesN = 2, samples4N = 1,
+      minN = 200, min4N = 50) == 780.0)
+    // balanced: the reserve mirrors the 768 admission gates
+    // (3·(1.3·50 + 1.15·200) = 885), so a 780 s budget yields no
+    // beyond-2+2 extras — the flag's pair is what the leftover buys
+    assert(Bench.extrasBudgetFor(1500, want768 = true, samplesN = 2, samples4N = 2,
+      minN = 200, min4N = 50) == 1500.0 - 885.0)
+    // flag off: full budget always
+    assert(Bench.extrasBudgetFor(780, want768 = false, samplesN = 2, samples4N = 2,
+      minN = 200, min4N = 50) == 780.0)
+  }
+
   test("host calibration section renders and stays complete JSON") {
     val kg = Bench.KgBench(100000L, 256, 2, 8, 704.1, 196.0, 1, 1)
     val s = Bench.renderJson(battery, "/tmp/sf", Some(kg), Some((1412.3, 87.9)))
