@@ -64,6 +64,20 @@ object StreamingKg {
     * this checkpoint lineage — resume then auto-disables replay
     * skipping if the stateDir is ever re-pointed at a different stream
     * (see [[StreamProgress]]). */
+  /** Geometry-drift policy for the INDEXED continuous mode, closing the
+    * monitor → trigger → recovery loop in-stream: when the predicate
+    * holds on the post-fold state, the writer runs
+    * [[IncrementalAlign.rebootstrap]] AT THE NEXT COMMIT POINT (the
+    * natural boundary — the re-fit rebuilds candidate state, and the
+    * commit then persists the fresh geometry in the same atomic epoch).
+    * Default predicate: the state's own [[graft.candidates.DriftMonitor]]
+    * reading advises it. Off unless passed (`rebootstrapOnDrift`);
+    * exactness is free — rebootstrap is gated bit-equal to a fresh
+    * indexed initial over everything ingested, and deltas compose on
+    * top (IncrementalSpec). */
+  val OnDriftAdvised: AlignState => Boolean =
+    _.drift.exists(_.rebootstrapAdvised)
+
   def writer(docs: Dataset[Doc],
              entsFor: Dataset[Doc] => Dataset[Entity],
              state0: AlignState,
@@ -72,7 +86,8 @@ object StreamingKg {
              commitEvery: Int = 1,
              retainEpochs: Option[Int] = None,
              skipReplayed: Boolean = true,
-             checkpointLocation: Option[String] = None): (DataStreamWriter[Doc], Handle) = {
+             checkpointLocation: Option[String] = None,
+             rebootstrapOnDrift: Option[AlignState => Boolean] = None): (DataStreamWriter[Doc], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
     val sid = checkpointLocation.map(StreamProgress.streamId)
@@ -97,7 +112,7 @@ object StreamingKg {
           entsFor(docsNow), cfg)
         batches += 1
         handle.set(commitMaybe(spark, next, stateDir, batches, batchId, commitEvery,
-          retainEpochs, sid, stage))
+          retainEpochs, sid, stage, cfg, rebootstrapOnDrift))
       }
     }
     (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
@@ -117,7 +132,8 @@ object StreamingKg {
                 commitEvery: Int = 1,
                 retainEpochs: Option[Int] = None,
                 skipReplayed: Boolean = true,
-                checkpointLocation: Option[String] = None): (DataStreamWriter[DocEvent], Handle) = {
+                checkpointLocation: Option[String] = None,
+                rebootstrapOnDrift: Option[AlignState => Boolean] = None): (DataStreamWriter[DocEvent], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     val handle = new Handle(new AtomicReference[AlignState](state0))
     val sid = checkpointLocation.map(StreamProgress.streamId)
@@ -142,7 +158,7 @@ object StreamingKg {
         if (!adds.isEmpty) st = IncrementalAlign.delta(spark, st, adds, entsFor(adds), cfg)
         batches += 1
         handle.set(commitMaybe(spark, st, stateDir, batches, batchId, commitEvery,
-          retainEpochs, sid, stage))
+          retainEpochs, sid, stage, cfg, rebootstrapOnDrift))
       }
     }
     (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
@@ -154,20 +170,30 @@ object StreamingKg {
     * O(retainEpochs × state size) instead of growing per commit. The
     * snapshot reload also releases the staged micro-batch files (the
     * reloaded state references only its own parquet tables). */
-  private def commitMaybe(spark: SparkSession, st: AlignState,
+  private def commitMaybe(spark: SparkSession, st0: AlignState,
                           stateDir: Option[String], batches: Long, batchId: Long,
                           commitEvery: Int,
                           retainEpochs: Option[Int],
                           sid: Option[Long],
-                          stage: BatchStage): AlignState =
+                          stage: BatchStage,
+                          cfg: IncrementalConfig,
+                          rebootstrapOnDrift: Option[AlignState => Boolean]): AlignState =
     stateDir match {
       case Some(dir) if batches % commitEvery == 0 =>
+        // drift policy fires at the commit boundary so the re-fit
+        // geometry + rebuilt candidate state persist in ONE atomic epoch
+        // with the progress marker (see [[OnDriftAdvised]])
+        val st = rebootstrapOnDrift match {
+          case Some(p) if cfg.useIndex && p(st0) =>
+            IncrementalAlign.rebootstrap(spark, st0, cfg)
+          case _ => st0
+        }
         IncrementalAlign.save(spark, st, dir,
           extras = Seq(StreamProgress.Component -> StreamProgress.of(spark, batchId, sid)))
         val loaded = IncrementalAlign.load(spark, dir)
         retainEpochs.foreach(IncrementalAlign.expire(dir, _))
         stage.release()
         loaded
-      case _ => st
+      case _ => st0
     }
 }

@@ -327,6 +327,55 @@ class IncrementalSpec extends SparkTestBase {
     assert(st.index.get.count() == full.index.get.count())
   }
 
+  test("streaming drift policy: rebootstrapOnDrift re-fits at the commit point; quiet predicate leaves the state alone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ((d1, e1), (d2, e2)) = splitFixture(25, 40)
+    val idxCfg = icfg.copy(useIndex = true)
+    val s0 = IncrementalAlign.initial(spark, d1, e1, idxCfg)
+    val cfg40 = SynthConfig(entitiesPerKg = 40)
+    def entsFor(docs: Dataset[Doc]): Dataset[Entity] = {
+      val idxs = docs.collect().map(d =>
+        d.doc_id.substring(d.doc_id.lastIndexOf('_') + 1).toLong).toSet
+      DocSynthesizer.entities(spark, cfg40)
+        .filter(en => idxs.contains(en.id % DocSynthesizer.Kg2Base))
+    }
+    def stream(policy: Option[AlignState => Boolean]): AlignState = {
+      val stateDir = java.nio.file.Files.createTempDirectory("drift-policy").toString
+      val source = MemoryStream[Doc]
+      val (writer, handle) = graft.streaming.StreamingKg.writer(
+        source.toDS(), entsFor, s0, idxCfg, stateDir = Some(stateDir),
+        commitEvery = 1, rebootstrapOnDrift = policy)
+      val q = writer.start()
+      try { source.addData(d2.collect().toSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+      handle.state
+    }
+    // firing policy (injected always-true — the default predicate's own
+    // firing/quiet behavior is gated by the DriftMonitor tests): the
+    // committed state is the REBOOTSTRAPPED one, i.e. bit-equal to a
+    // fresh indexed initial over everything ingested, fresh geometry
+    val fired = stream(Some(_ => true))
+    val fresh = IncrementalAlign.initial(spark, d1.unionByName(d2),
+      e1.unionByName(e2), idxCfg)
+    assert(java.lang.Double.doubleToRawLongBits(fired.geometry.get.width) ==
+      java.lang.Double.doubleToRawLongBits(fresh.geometry.get.width))
+    assert(fired.geometry.get.center.toSeq == fresh.geometry.get.center.toSeq)
+    assert(topkMap(fired) == topkMap(fresh))
+    assert(acceptedSet(fired) == acceptedSet(fresh))
+    assert(canonBag(fired) == canonBag(fresh))
+    // the default predicate on a same-distribution delta stays QUIET:
+    // the committed state keeps the bootstrap-frozen geometry and equals
+    // the plain maintained state
+    val quiet = stream(Some(graft.streaming.StreamingKg.OnDriftAdvised))
+    val plain = IncrementalAlign.initial(spark, d1.unionByName(d2),
+      e1.unionByName(e2), idxCfg, geometry = s0.geometry)
+    assert(java.lang.Double.doubleToRawLongBits(quiet.geometry.get.width) ==
+      java.lang.Double.doubleToRawLongBits(s0.geometry.get.width))
+    assert(topkMap(quiet) == topkMap(plain))
+    assert(canonBag(quiet) == canonBag(plain))
+  }
+
   test("retract undoes a committed batch bit-exactly (takedown path)") {
     val ((d1, e1), (d2, e2)) = splitFixture(40, 60)
     val s1 = IncrementalAlign.initial(spark, d1, e1, icfg)
