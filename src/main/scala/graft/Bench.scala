@@ -245,33 +245,44 @@ object Bench {
   def nextExtra(extraN: Int, extra4N: Int, elapsed: Double, budget: Double,
                 costN: Double, cost4N: Double,
                 predN: Double = Double.PositiveInfinity,
-                pred4N: Double = Double.PositiveInfinity): Option[Boolean] = {
+                pred4N: Double = Double.PositiveInfinity,
+                denoiseBudget: Double = Double.NaN): Option[Boolean] = {
+    // the BALANCE branches (to 2+2 — the artifact's evidence currency)
+    // gate on the full `budget`; the beyond-2+2 DE-NOISING branches gate
+    // on `denoiseBudget` when given (the dim-768 reservation,
+    // extrasBudgetFor) — gating both on the reserved budget would let
+    // cheap 4N de-noising spend the full budget whenever the expensive
+    // N balance sample never fits, starving the reserved pair
+    val db = if (denoiseBudget.isNaN) budget else denoiseBudget
     val fits4N = elapsed + 1.3 * math.min(cost4N, pred4N) < budget
     val fitsN = elapsed + 1.15 * math.min(costN, predN) < budget
+    val dFits4N = elapsed + 1.3 * math.min(cost4N, pred4N) < db
+    val dFitsN = elapsed + 1.15 * math.min(costN, predN) < db
     if (extraN < 1 && fitsN) Some(false)
     else if (extra4N < 1 && fits4N) Some(true)
-    else if (extraN < 2 && fitsN) Some(false)
-    else if (extra4N < 3 && fits4N) Some(true)
-    else if (extraN < 4 && fitsN) Some(false)
-    else if (extra4N < 6 && fits4N) Some(true)
+    else if (extraN < 2 && dFitsN) Some(false)
+    else if (extra4N < 3 && dFits4N) Some(true)
+    else if (extraN < 4 && dFitsN) Some(false)
+    else if (extra4N < 6 && dFits4N) Some(true)
     else None
   }
 
   /** Budget visible to the beyond-2+2 DE-NOISING extras when the
     * dim-768 secondary pair is requested: the reserve mirrors the 768
     * pair's admission gates (3× each level's min — the bytes-linear
-    * shuffle factor — times the ladder margins). While the pair is
-    * still BALANCING to 2+2 the full budget applies: the primary
-    * tail's evidence standard outranks the secondary dim point, which
-    * outranks extra de-noising. (The first cut of this reservation
-    * gated ALL extras and starved a live rehearsal's primary tail to
-    * samples 1+1 — the regression this function's tests pin.) Pure —
+    * shuffle factor — times the ladder margins). The balance-to-2+2
+    * samples are NOT gated by this — [[nextExtra]] applies the full
+    * budget to its balance branches and this reserved budget only to
+    * the de-noising branches, so the priority is strict at every state:
+    * primary 2+2 evidence > the secondary dim point > extra de-noising.
+    * (The first cut gated ALL extras on the reserve and starved a live
+    * rehearsal's primary tail to samples 1+1; the second gated the
+    * reserve on pair balance, which let cheap 4N de-noising spend the
+    * full budget whenever the N balance sample never fit.) Pure —
     * unit-tested in BenchSpec. */
-  def extrasBudgetFor(budget: Double, want768: Boolean, samplesN: Int, samples4N: Int,
-                      minN: Double, min4N: Double): Double = {
-    val balancing = samplesN < 2 || samples4N < 2
-    if (want768 && !balancing) budget - 3.0 * (1.3 * min4N + 1.15 * minN) else budget
-  }
+  def extrasBudgetFor(budget: Double, want768: Boolean,
+                      minN: Double, min4N: Double): Double =
+    if (want768) budget - 3.0 * (1.3 * min4N + 1.15 * minN) else budget
 
   /** One complete JSON line in the driver's schema. `kg` present only
     * once both scaling levels have at least one sample; `host` carries
@@ -385,14 +396,16 @@ object Bench {
 
     var samplesN = List.empty[(Long, Double)]
     var samples4N = List.empty[(Long, Double)]
-    // per rung: (docs, samplesN, samples4N, final line, kg, sys) — feeds
-    // the best-evidence re-emit after the ladder stops and the optional
-    // dim-768 augmented tail
-    val rungFinal =
-      scala.collection.mutable.Map.empty[Int, (Long, Int, Int, String, KgBench, Option[(Double, Double)])]
+    // per rung: (docs, samplesN, samples4N, final line, kg, sys, host) —
+    // feeds the best-evidence re-emit after the ladder stops and the
+    // optional dim-768 augmented tail (which must carry the HOST STATE
+    // measured around the best rung's samples, not whatever the probe
+    // read last — each emitted line self-describes its own window)
+    val rungFinal = scala.collection.mutable.Map.empty[Int,
+      (Long, Int, Int, String, KgBench, Option[(Double, Double)], (Double, Double))]
     def bestRungIdx: Int = {
       val ordered = rungFinal.toSeq.sortBy(_._1)
-      ordered(bestEvidence(ordered.map { case (_, (d, sn, s4n, _, _, _)) => (d, sn, s4n) }))._1
+      ordered(bestEvidence(ordered.map { case (_, (d, sn, s4n, _, _, _, _)) => (d, sn, s4n) }))._1
     }
     def emitKg(rungIdx: Int): Unit =
       if (samplesN.nonEmpty && samples4N.nonEmpty) {
@@ -401,7 +414,7 @@ object Bench {
         val sys = for (a <- levelSys.get(nLow); b <- levelSys.get(nHigh)) yield (a, b)
         val kg = KgBench(docs, dim, nLow, nHigh, secN, sec4N, samplesN.size, samples4N.size)
         val line = renderJson(results, sfDir, Some(kg), Some(host), sys)
-        rungFinal(rungIdx) = (docs, samplesN.size, samples4N.size, line, kg, sys)
+        rungFinal(rungIdx) = (docs, samplesN.size, samples4N.size, line, kg, sys, host)
         emit(line)
         // keep the TAIL line (the one the driver parses) the
         // best-evidence rung at every moment — a kill mid-rung must not
@@ -457,7 +470,7 @@ object Bench {
     val want768 = sys.env.get("SPARK_GRAFT_BENCH_768").exists(v =>
       v == "1" || v.equalsIgnoreCase("true"))
     def extrasBudget: Double = extrasBudgetFor(budgetSec, want768,
-      samplesN.size, samples4N.size, samplesN.map(_._2).min, samples4N.map(_._2).min)
+      samplesN.map(_._2).min, samples4N.map(_._2).min)
     while (cont) {
       if (nextRung(rungs, idx, elapsed, budgetSec, pairCost)) {
         val ratio = math.pow(rungs(idx + 1).toDouble / rungs(idx), 1.6)
@@ -466,8 +479,9 @@ object Bench {
         idx += 1
         System.err.println(f"[bench] escalating to E=${rungs(idx)} at elapsed $elapsed%.0f s")
         runPair(idx)
-      } else nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, extrasBudget,
-        samplesN.map(_._2).min, samples4N.map(_._2).min, predN, pred4N) match {
+      } else nextExtra(samplesN.size - 1, samples4N.size - 1, elapsed, budgetSec,
+        samplesN.map(_._2).min, samples4N.map(_._2).min, predN, pred4N,
+        denoiseBudget = extrasBudget) match {
         case Some(true)  => samples4N ::= level(nHigh, rungs(idx)); emitKg(idx)
         case Some(false) => samplesN ::= level(nLow, rungs(idx)); emitKg(idx)
         case None        => cont = false
@@ -493,8 +507,8 @@ object Bench {
         if (elapsed + 1.15 * estN < budgetSec) {
           val sN = level(nLow, e768, 768)
           val b768 = KgBench(sN._1, 768, nLow, nHigh, sN._2, s4._2, 1, 1)
-          val (_, _, _, _, kgBest, sysBest) = rungFinal(bestRungIdx)
-          emit(renderJson(results, sfDir, Some(kgBest), Some(host), sysBest, Some(b768)))
+          val (_, _, _, _, kgBest, sysBest, hostBest) = rungFinal(bestRungIdx)
+          emit(renderJson(results, sfDir, Some(kgBest), Some(hostBest), sysBest, Some(b768)))
           System.err.println(f"[bench] kg_bench_768 pair done at E=$e768 (elapsed $elapsed%.0f s)")
         } else System.err.println("[bench] kg_bench_768: N level does not fit the budget; skipped")
       } else System.err.println("[bench] kg_bench_768: 4N level does not fit the budget; skipped")

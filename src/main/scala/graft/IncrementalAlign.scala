@@ -575,8 +575,7 @@ object IncrementalAlign {
     //      this batch, so the baseline stays historical ----
     val driftStats = state.geometry.flatMap { g =>
       val reference = bcSample.value.filter(e => !bcChangedKg2.value.contains(e.id))
-      graft.candidates.DriftMonitor.assess(bcDeltaCorpus.value, reference, g,
-        cfg.indexWScale)
+      graft.candidates.DriftMonitor.assess(bcDeltaCorpus.value, reference, g)
     }
     driftStats.foreach(s => diag(s"drift monitor: $s"))
 
@@ -835,6 +834,7 @@ object IncrementalAlign {
         Iterator(("geomBands", 0L, g.bands.toDouble),
           ("geomRows", 0L, g.rows.toDouble),
           ("geomWidth", 0L, g.width),
+          ("geomWScale", 0L, g.wScale),
           ("geomSeed", 0L, java.lang.Double.longBitsToDouble(g.seed))) ++
           g.center.iterator.zipWithIndex.map { case (v, i) => ("geomCenter", i.toLong, v.toDouble) }
       }
@@ -896,7 +896,10 @@ object IncrementalAlign {
       IndexGeometry(scalar("geomBands").toInt, scalar("geomRows").toInt,
         scalar("geomWidth"),
         java.lang.Double.doubleToRawLongBits(scalar("geomSeed")),
-        arr("geomCenter"))
+        arr("geomCenter"),
+        // pre-round-5 states carry no wScale row; 1.0 was the only
+        // value those fits were made with (the IncrementalConfig default)
+        meta.find(_._1 == "geomWScale").map(_._3).getOrElse(1.0))
     }
     AlignState(
       ents = cut(rd("ents").as[Entity]),

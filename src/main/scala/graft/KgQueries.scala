@@ -209,7 +209,13 @@ object KgQueries {
         var fp = 0L
         j = 0
         while (j < 8) {
-          fp = fp * 31 + (if (norm == 0.0) 0L else math.round(1000.0 * s(j) / norm))
+          // floor(x + 0.5) EXPLICITLY on both engines: Java's
+          // Math.round special-cases the 0.49999999999999994 class
+          // while SQL round() is half-away-from-zero — two spellings
+          // that agree almost everywhere is exactly the bug class the
+          // type-strict harness exists to keep out
+          fp = fp * 31 + (if (norm == 0.0) 0L
+                          else math.floor(1000.0 * s(j) / norm + 0.5).toLong)
           j += 1
         }
         (id, bytes.length.toLong, fp)
@@ -240,7 +246,7 @@ object KgQueries {
        SELECT v.doc_id, CAST(d.n_bytes AS BIGINT) AS n_bytes,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(ss, s -> CAST(CASE WHEN nn = 0 THEN 0
-             ELSE round(1000.0 * s / nn) END AS BIGINT))),
+             ELSE floor(1000.0 * s / nn + 0.5) END AS BIGINT))),
            (acc, v) -> acc * 31 + v) AS feat_fp
        FROM vec v JOIN d ON v.doc_id = d.doc_id"""
 

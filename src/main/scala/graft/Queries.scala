@@ -24,27 +24,18 @@ object Queries {
     * benched cost converges on the READ path the query name advertises,
     * not the setup write), and a shutdown hook removes the temp roots —
     * repeated bench/correctness runs no longer accumulate orphan dirs
-    * (ADVICE r3). Keyed by (kind, sf dir, source-listing digest) — the
-    * digest folds every file's relative path + size + mtime under the
-    * source (not just the top-level mtime: a dataset regenerated by
-    * rewriting files inside nested part paths, or within mtime
-    * granularity but with different sizes, must not serve the previous
-    * generation's commit while the DuckDB twin reads the new rows —
-    * ADVICE r4), and a missing source fails fast instead of caching
-    * under a sentinel key. */
-  private val tmpTableCache = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
-  private def cachedTmpTable(kind: String, dir: String)(setup: String => Long): (String, Long) = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    require(src.exists, s"cachedTmpTable: missing source $src")
-    val digest = graft.util.LocalFs.listingDigest(src)
-    tmpTableCache.getOrElseUpdate(s"$kind|$dir|$digest", {
-      val root = java.nio.file.Files.createTempDirectory("graft_tbl").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        graft.util.LocalFs.deleteRecursively(new java.io.File(root))))
-      val base = root + "/docs"
-      (base, setup(base))
-    })
-  }
+    * (ADVICE r3). Keying/staleness/lifecycle live in
+    * [[graft.util.SessionTemp]] (shared with TextQueries' staged
+    * signature frames): source-listing digest key — a regenerated
+    * documents.parquet can never serve the previous generation's commit
+    * while the DuckDB twin reads the new rows (ADVICE r4) — and a
+    * missing source fails fast. */
+  private def cachedTmpTable(kind: String, dir: String)(setup: String => Long): (String, Long) =
+    graft.util.SessionTemp.keyed(s"tbl-$kind", new java.io.File(s"$dir/documents.parquet")) {
+      root =>
+        val base = root + "/docs"
+        (base, setup(base))
+    }
 
   // ---------- S1/P1/P2: scan, projection, filter pushdown ----------
 

@@ -26,7 +26,8 @@ object TextQueries {
     * the simhash trio) each re-derived the same signature frame, and
     * the `*_inc` fixtures — whose incremental folds run MANY actions
     * over it — paid the chain once per action. Keyed by the
-    * source-listing digest (the cachedTmpTable staleness discipline,
+    * source-listing digest ([[graft.util.SessionTemp]] — ONE
+    * staleness/lifecycle discipline shared with Queries.cachedTmpTable,
     * ADVICE r4) so a regenerated dataset never serves stale signatures;
     * the staged content is bit-identical to the direct computation
     * (integer/string columns, parquet-exact), so every oracle twin is
@@ -34,20 +35,14 @@ object TextQueries {
     * inside multi-branch joins triggers this host's measured mmap-storm
     * pathology (see qNgramJaccard), while a scan of a staged table is
     * the same cheap read path the incremental states already use. */
-  private val stagedCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedFrame(spark: SparkSession, kind: String, dir: String)
                          (build: => DataFrame): DataFrame = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    require(src.exists, s"stagedFrame: missing source $src")
-    val digest = graft.util.LocalFs.listingDigest(src)
-    val path = stagedCache.getOrElseUpdate(s"$kind|$dir|$digest", {
-      val root = java.nio.file.Files.createTempDirectory("graft_qstage").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        graft.util.LocalFs.deleteRecursively(new java.io.File(root))))
-      val p = s"$root/$kind"
-      build.write.parquet(p)
-      p
-    })
+    val path = graft.util.SessionTemp.keyed(s"stage-$kind",
+      new java.io.File(s"$dir/documents.parquet")) { root =>
+        val p = s"$root/$kind"
+        build.write.parquet(p)
+        p
+      }
     spark.read.parquet(path)
   }
 

@@ -31,7 +31,14 @@ import graft.embed.Embedder
   * membership must not drift as the corpus grows; a production system
   * refreshes the geometry only on an explicit index rebuild. */
 final case class IndexGeometry(bands: Int, rows: Int, width: Double,
-                               seed: Long, center: Array[Float]) {
+                               seed: Long, center: Array[Float],
+                               /** the width-scale `fit` was called with —
+                                 * carried IN the geometry so consumers
+                                 * (DriftMonitor's fitted-residual
+                                 * baseline = width/wScale) cannot be
+                                 * mis-scaled by a config that differs
+                                 * from the one the frozen fit used */
+                               wScale: Double = 1.0) {
   @transient private lazy val projs =
     LshTopK.projections(LshTopK.LshConfig(bands = bands, rowsPerBand = rows, seed = seed),
       center.length)
@@ -62,7 +69,7 @@ object IndexGeometry {
     var i = 0
     while (i < dim) { mean(i) = (acc(i) / n).toFloat; i += 1 }
     val residVar = math.max(1e-12, sq / n - mean.map(x => x.toDouble * x).sum)
-    IndexGeometry(bands, rows, wScale * math.sqrt(residVar / dim), seed, mean)
+    IndexGeometry(bands, rows, wScale * math.sqrt(residVar / dim), seed, mean, wScale)
   }
 }
 

@@ -62,7 +62,18 @@ final class BatchStage(stateDir: Option[String], writerId: Option[String] = None
 
   private val root: String = stateDir match {
     case Some(d) =>
-      val ns = writerId.map(id => f"w-${StreamProgress.streamId(id)}%016x").getOrElse("default")
+      // TWO independent folds of the (slash-normalized) identity: the
+      // 31-fold streamId alone has easy equal-length collisions (the
+      // 'Aa'/'BB' class), and a namespace collision is the UNSAFE
+      // direction here — one writer's release would sweep the other's
+      // live staged batches. Requiring a simultaneous collision in two
+      // unrelated folds (31-polynomial + FNV-1a) makes that improbable.
+      val ns = writerId.map { id =>
+        val norm = id.reverse.dropWhile(_ == '/').reverse
+        val a = StreamProgress.streamId(id)
+        val b = norm.foldLeft(-3750763034362895579L)((h, c) => (h ^ c) * 1099511628211L)
+        f"w-$a%016x-$b%016x"
+      }.getOrElse("default")
       s"$d/_staging/$ns"
     case None =>
       val d = java.nio.file.Files.createTempDirectory("graft_stage").toString
@@ -101,6 +112,16 @@ final class BatchStage(stateDir: Option[String], writerId: Option[String] = None
     val kids = new java.io.File(root).listFiles()
     if (kids != null) kids.iterator.filterNot(f => keep.contains(f.getName))
       .foreach(graft.util.LocalFs.deleteRecursively)
+    // pre-namespacing layouts staged batch-N directly under _staging;
+    // those leftovers belong to no namespace and would otherwise never
+    // be swept (a live same-layout writer cannot own them — every
+    // current writer stages under a w-*/default namespace)
+    val parent = new java.io.File(root).getParentFile
+    if (parent != null && parent.getName == "_staging") {
+      val legacy = parent.listFiles()
+      if (legacy != null) legacy.iterator.filter(_.getName.startsWith("batch-"))
+        .foreach(graft.util.LocalFs.deleteRecursively)
+    }
     cur = Nil
   }
 }

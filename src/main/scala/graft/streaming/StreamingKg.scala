@@ -57,6 +57,25 @@ object StreamingKg {
     private[StreamingKg] def set(s: AlignState): Unit = ref.set(s)
   }
 
+  /** Geometry-drift policy for the INDEXED continuous mode, closing the
+    * monitor → trigger → recovery loop in-stream: the predicate is
+    * evaluated on EVERY post-fold state, and the advisory is STICKY
+    * across the commit window — if any batch since the last commit
+    * advised, the writer runs [[IncrementalAlign.rebootstrap]] at the
+    * next commit point (the natural boundary: the re-fit rebuilds
+    * candidate state, and the commit persists the fresh geometry in the
+    * same atomic epoch; a per-commit-only check would lose an early
+    * batch's advisory behind later quiet ones at commitEvery > 1).
+    * Default predicate: the state's own
+    * [[graft.candidates.DriftMonitor]] reading advises it. Off unless
+    * passed (`rebootstrapOnDrift`); requires a durable `stateDir`
+    * (without commit points the policy would be silently inert — the
+    * writers refuse that combination loudly). Exactness is free —
+    * rebootstrap is gated bit-equal to a fresh indexed initial over
+    * everything ingested, and deltas compose on top (IncrementalSpec). */
+  val OnDriftAdvised: AlignState => Boolean =
+    _.drift.exists(_.rebootstrapAdvised)
+
   /** Wire a doc stream to the state: returns the foreachBatch writer
     * (caller starts it, possibly adding trigger options) and the live
     * state handle. Pass `checkpointLocation` HERE (not as a raw option
@@ -64,20 +83,6 @@ object StreamingKg {
     * this checkpoint lineage — resume then auto-disables replay
     * skipping if the stateDir is ever re-pointed at a different stream
     * (see [[StreamProgress]]). */
-  /** Geometry-drift policy for the INDEXED continuous mode, closing the
-    * monitor → trigger → recovery loop in-stream: when the predicate
-    * holds on the post-fold state, the writer runs
-    * [[IncrementalAlign.rebootstrap]] AT THE NEXT COMMIT POINT (the
-    * natural boundary — the re-fit rebuilds candidate state, and the
-    * commit then persists the fresh geometry in the same atomic epoch).
-    * Default predicate: the state's own [[graft.candidates.DriftMonitor]]
-    * reading advises it. Off unless passed (`rebootstrapOnDrift`);
-    * exactness is free — rebootstrap is gated bit-equal to a fresh
-    * indexed initial over everything ingested, and deltas compose on
-    * top (IncrementalSpec). */
-  val OnDriftAdvised: AlignState => Boolean =
-    _.drift.exists(_.rebootstrapAdvised)
-
   def writer(docs: Dataset[Doc],
              entsFor: Dataset[Doc] => Dataset[Entity],
              state0: AlignState,
@@ -89,7 +94,10 @@ object StreamingKg {
              checkpointLocation: Option[String] = None,
              rebootstrapOnDrift: Option[AlignState => Boolean] = None): (DataStreamWriter[Doc], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
+    require(rebootstrapOnDrift.isEmpty || stateDir.nonEmpty,
+      "rebootstrapOnDrift requires a durable stateDir — the re-fit lands at commit points (see OnDriftAdvised)")
     val handle = new Handle(new AtomicReference[AlignState](state0))
+    var driftPending = false
     val sid = checkpointLocation.map(StreamProgress.streamId)
     // committed stream position: batchIds at or below this were already
     // folded AND durably saved by a previous run — skip their replays
@@ -111,8 +119,12 @@ object StreamingKg {
         val next = IncrementalAlign.delta(spark, handle.state, docsNow,
           entsFor(docsNow), cfg)
         batches += 1
+        // sticky advisory: ANY batch in the commit window advising
+        // triggers the re-fit at the commit (OnDriftAdvised doc)
+        rebootstrapOnDrift.foreach(p => driftPending ||= p(next))
         handle.set(commitMaybe(spark, next, stateDir, batches, batchId, commitEvery,
-          retainEpochs, sid, stage, cfg, rebootstrapOnDrift))
+          retainEpochs, sid, stage, cfg, driftPending))
+        if (stateDir.isDefined && batches % commitEvery == 0) driftPending = false
       }
     }
     (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
@@ -135,7 +147,10 @@ object StreamingKg {
                 checkpointLocation: Option[String] = None,
                 rebootstrapOnDrift: Option[AlignState => Boolean] = None): (DataStreamWriter[DocEvent], Handle) = {
     require(commitEvery >= 1, "commitEvery must be >= 1")
+    require(rebootstrapOnDrift.isEmpty || stateDir.nonEmpty,
+      "rebootstrapOnDrift requires a durable stateDir — the re-fit lands at commit points (see OnDriftAdvised)")
     val handle = new Handle(new AtomicReference[AlignState](state0))
+    var driftPending = false
     val sid = checkpointLocation.map(StreamProgress.streamId)
     val resumeAfter =
       if (skipReplayed)
@@ -157,8 +172,10 @@ object StreamingKg {
         if (tombstones.nonEmpty) st = IncrementalAlign.retract(spark, st, tombstones, cfg)
         if (!adds.isEmpty) st = IncrementalAlign.delta(spark, st, adds, entsFor(adds), cfg)
         batches += 1
+        rebootstrapOnDrift.foreach(p => driftPending ||= p(st))
         handle.set(commitMaybe(spark, st, stateDir, batches, batchId, commitEvery,
-          retainEpochs, sid, stage, cfg, rebootstrapOnDrift))
+          retainEpochs, sid, stage, cfg, driftPending))
+        if (stateDir.isDefined && batches % commitEvery == 0) driftPending = false
       }
     }
     (checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)), handle)
@@ -177,17 +194,16 @@ object StreamingKg {
                           sid: Option[Long],
                           stage: BatchStage,
                           cfg: IncrementalConfig,
-                          rebootstrapOnDrift: Option[AlignState => Boolean]): AlignState =
+                          refitPending: Boolean): AlignState =
     stateDir match {
       case Some(dir) if batches % commitEvery == 0 =>
         // drift policy fires at the commit boundary so the re-fit
         // geometry + rebuilt candidate state persist in ONE atomic epoch
-        // with the progress marker (see [[OnDriftAdvised]])
-        val st = rebootstrapOnDrift match {
-          case Some(p) if cfg.useIndex && p(st0) =>
-            IncrementalAlign.rebootstrap(spark, st0, cfg)
-          case _ => st0
-        }
+        // with the progress marker (see [[OnDriftAdvised]]; the flag is
+        // the writers' sticky any-batch-in-window advisory)
+        val st =
+          if (refitPending && cfg.useIndex) IncrementalAlign.rebootstrap(spark, st0, cfg)
+          else st0
         IncrementalAlign.save(spark, st, dir,
           extras = Seq(StreamProgress.Component -> StreamProgress.of(spark, batchId, sid)))
         val loaded = IncrementalAlign.load(spark, dir)

@@ -138,9 +138,9 @@ object DriftProbe {
     val sampleA = sampleOf(corpusA, 512)
     val preBatch = Array.tabulate(nB)(i =>
       Emb((nA + nB + i).toLong, around(uA, spreadA, seed, i, 4)))
-    val sPre = DriftMonitor.assess(preBatch, sampleA, gFrozen, 1.0).get
-    val sPost = DriftMonitor.assess(corpusB, sampleA, gFrozen, 1.0).get
-    val sRefit = DriftMonitor.assess(corpusB, sampleOf(corpus, 512), gRefit, 1.0).get
+    val sPre = DriftMonitor.assess(preBatch, sampleA, gFrozen).get
+    val sPost = DriftMonitor.assess(corpusB, sampleA, gFrozen).get
+    val sRefit = DriftMonitor.assess(corpusB, sampleOf(corpus, 512), gRefit).get
     println(s"[drift] monitor same-population batch (must be quiet): $sPre")
     println(s"[drift] monitor drifted batch (must advise):           $sPost")
     println(s"[drift] monitor drifted batch after REFIT:             $sRefit")

@@ -125,21 +125,34 @@ class BenchSpec extends AnyFunSuite {
 
   test("768 reservation never starves the balance-to-2+2 samples (live-rehearsal regression)") {
     // the live failure: full-rung first pair N=200/4N=50, flag on — the
-    // all-extras reservation left extrasBudget ≈ 30 s and the run died
-    // at samples 1+1 (not the driver's evidence shape). While balancing,
-    // the FULL budget must apply regardless of the flag:
-    assert(Bench.extrasBudgetFor(780, want768 = true, samplesN = 1, samples4N = 1,
-      minN = 200, min4N = 50) == 780.0)
-    assert(Bench.extrasBudgetFor(780, want768 = true, samplesN = 2, samples4N = 1,
-      minN = 200, min4N = 50) == 780.0)
-    // balanced: the reserve mirrors the 768 admission gates
-    // (3·(1.3·50 + 1.15·200) = 885), so a 780 s budget yields no
-    // beyond-2+2 extras — the flag's pair is what the leftover buys
-    assert(Bench.extrasBudgetFor(1500, want768 = true, samplesN = 2, samples4N = 2,
-      minN = 200, min4N = 50) == 1500.0 - 885.0)
-    // flag off: full budget always
-    assert(Bench.extrasBudgetFor(780, want768 = false, samplesN = 2, samples4N = 2,
-      minN = 200, min4N = 50) == 780.0)
+    // all-extras reservation left ~30 s visible to EVERY extra and the
+    // run died at samples 1+1 (not the driver's evidence shape). The
+    // split is now inside nextExtra: BALANCE branches gate on the full
+    // budget, DE-NOISING branches on the reserved one.
+    val reserved = Bench.extrasBudgetFor(780, want768 = true, minN = 200, min4N = 50)
+    assert(reserved == 780.0 - 885.0) // 3·(1.3·50 + 1.15·200) = 885
+    // rehearsal-23 state (1+1 at 453 s elapsed): the N balance sample
+    // must still be offered under the FULL budget even though the
+    // reserved budget is long gone
+    assert(Bench.nextExtra(extraN = 0, extra4N = 0, elapsed = 453, budget = 780,
+      costN = 200, cost4N = 50, denoiseBudget = reserved) == Some(false))
+    // balanced at 2+2: de-noising defers to the reservation — with the
+    // reserved budget exhausted, no extra is offered (the leftover buys
+    // the 768 pair instead)
+    assert(Bench.nextExtra(extraN = 1, extra4N = 1, elapsed = 453, budget = 780,
+      costN = 200, cost4N = 50, denoiseBudget = reserved).isEmpty)
+    // same state WITHOUT the flag: de-noising proceeds on the full
+    // budget (N re-sample first — the expensive, artifact-binding level)
+    assert(Bench.nextExtra(extraN = 1, extra4N = 1, elapsed = 453, budget = 780,
+      costN = 200, cost4N = 50,
+      denoiseBudget = Bench.extrasBudgetFor(780, want768 = false, 200, 50)) == Some(false))
+    // and when N NEVER fits, cheap 4N de-noising cannot burn the
+    // reserve's room (the second live pathology): balance-4N is offered,
+    // beyond-2+2 4N extras are not
+    assert(Bench.nextExtra(extraN = 0, extra4N = 0, elapsed = 700, budget = 780,
+      costN = 2000, cost4N = 50, denoiseBudget = reserved) == Some(true))
+    assert(Bench.nextExtra(extraN = 0, extra4N = 1, elapsed = 700, budget = 780,
+      costN = 2000, cost4N = 50, denoiseBudget = reserved).isEmpty)
   }
 
   test("host calibration section renders and stays complete JSON") {

@@ -600,20 +600,20 @@ class IncrementalSpec extends SparkTestBase {
     val sameA = Array.tabulate(n)(i => Emb((2 * n + i).toLong, around(uA, 0.35, seed, i, 4)))
     val gFrozen = IndexGeometry.fit(sampleOf(corpusA, 512), bands = 16, rows = 2)
     // a same-population batch stays quiet under the frozen fit
-    val quiet = DriftMonitor.assess(sameA, sampleOf(corpusA, 512), gFrozen, 1.0).get
+    val quiet = DriftMonitor.assess(sameA, sampleOf(corpusA, 512), gFrozen).get
     assert(!quiet.rebootstrapAdvised, quiet.toString)
     assert(math.abs(quiet.widthRatio - 1.0) < 0.2, quiet.toString)
     // the drifted ingest fires — this is the silent-recall-decay state
-    val fired = DriftMonitor.assess(driftedB, sampleOf(corpusA, 512), gFrozen, 1.0).get
+    val fired = DriftMonitor.assess(driftedB, sampleOf(corpusA, 512), gFrozen).get
     assert(fired.rebootstrapAdvised, fired.toString)
     // after the advised re-fit (the rebootstrap sampling law over the
     // grown corpus) the same batch is quiet again
     val gRefit = IndexGeometry.fit(sampleOf(corpusA ++ driftedB, 512), bands = 16, rows = 2)
-    val recovered = DriftMonitor.assess(driftedB, sampleOf(corpusA ++ driftedB, 512), gRefit, 1.0).get
+    val recovered = DriftMonitor.assess(driftedB, sampleOf(corpusA ++ driftedB, 512), gRefit).get
     assert(!recovered.rebootstrapAdvised, recovered.toString)
     // degenerate inputs answer quietly with None, never a false alarm
-    assert(DriftMonitor.assess(Array.empty[Emb], sampleOf(corpusA, 512), gFrozen, 1.0).isEmpty)
-    assert(DriftMonitor.assess(sameA, corpusA.take(1), gFrozen, 1.0).isEmpty)
+    assert(DriftMonitor.assess(Array.empty[Emb], sampleOf(corpusA, 512), gFrozen).isEmpty)
+    assert(DriftMonitor.assess(sameA, corpusA.take(1), gFrozen).isEmpty)
 
     // ---- integration: the score is surfaced from delta() on the
     // indexed path; exact mode and rebootstrap carry None ----
