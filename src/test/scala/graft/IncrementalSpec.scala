@@ -630,6 +630,35 @@ class IncrementalSpec extends SparkTestBase {
     assert(IncrementalAlign.delta(spark, sx1, d2, e2, icfg).drift.isEmpty)
   }
 
+  test("DriftMonitor: stats are permutation-tolerant and duplication-invariant (property)") {
+    import graft.candidates.{DriftMonitor, IndexGeometry}
+    import graft.kg.Emb
+    import graft.tools.DriftProbe.{around, normalize, sampleOf, unitNoise}
+    // n chosen so even the duplicated delta (2n = 400) stays under
+    // DriftMonitor.MaxSide — above it the stride subsample would make
+    // duplication only approximately invariant
+    val dim = 16; val n = 200; val seed = 11L
+    val u = normalize(unitNoise(dim, seed, 1L, 700))
+    val corpus = Array.tabulate(n)(i => Emb(i.toLong, around(u, 0.4, seed, i, 1)))
+    val batch = Array.tabulate(n)(i => Emb((n + i).toLong, around(u, 0.4, seed, i, 2)))
+    val g = IndexGeometry.fit(sampleOf(corpus, 128), bands = 8, rows = 2)
+    val ref = sampleOf(corpus, 128)
+    val base = DriftMonitor.assess(batch, ref, g).get
+    // permuting the (sub-cap) inputs changes only fp summation order:
+    // ratios agree to tolerance, the advisory bit exactly
+    val perm = DriftMonitor.assess(batch.reverse, ref.reverse, g).get
+    assert(math.abs(perm.widthRatio - base.widthRatio) < 1e-9, s"$perm vs $base")
+    assert(math.abs(perm.collisionRatio - base.collisionRatio) < 1e-9)
+    assert(perm.rebootstrapAdvised == base.rebootstrapAdvised)
+    // duplicating the delta adds no information: identical ratios
+    // (every pair relation repeats uniformly; sizes stay sub-cap)
+    val dup = DriftMonitor.assess(batch ++ batch.map(e => e.copy(id = e.id + 10000)), ref, g).get
+    assert(math.abs(dup.widthRatio - base.widthRatio) < 1e-9)
+    assert(math.abs(dup.collisionRatio - base.collisionRatio) < 1e-9)
+    // a same-distribution batch over a fit of its own population is quiet
+    assert(!base.rebootstrapAdvised, base.toString)
+  }
+
   test("exact-mode bootstrap collect is size-gated: at the cap unchanged, above it refuses naming useIndex") {
     val ((d1, e1), _) = splitFixture(10, 20)
     val nKg2 = e1.filter(_.kg == 2).count()
