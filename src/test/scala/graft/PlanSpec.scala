@@ -50,6 +50,21 @@ class PlanSpec extends SparkTestBase {
       s"columns not pruned:\n$plan")
   }
 
+  test("minhash/simhash pair plans read the staged signature table, never the corpus") {
+    // the staged signature frame (TextQueries.stagedFrame) replaces the
+    // scan→explode→aggregate chain for every family consumer: the pair
+    // plans must scan the session's staged parquet and must NOT rescan
+    // documents.parquet — at 100 TB that is the difference between a
+    // short per-doc table and the whole corpus, paid per consumer
+    for ((name, df) <- Seq(
+        "minhash" -> TextQueries.qMinhashPairs(spark, dir),
+        "simhash" -> TextQueries.qSimhashPairs(spark, dir))) {
+      val plan = planOf(df)
+      assert(plan.contains("graft_tmp"), s"$name does not read the staged table:\n$plan")
+      assert(!plan.contains("documents.parquet"), s"$name rescans the corpus:\n$plan")
+    }
+  }
+
   test("vocab top-k plans as TakeOrderedAndProject, never a full sort") {
     val plan = planOf(TextQueries.qVocabTopk(spark, dir))
     // per-partition bounded heaps merged on the driver — a global
