@@ -222,7 +222,13 @@ object EmbedQueries {
   def qConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val edges = t(spark, dir, "nation")
       .select(col("n_nationkey").cast("long").as("a"), (col("n_regionkey") + 100).cast("long").as("b"))
-    graft.canon.ConnectedComponents.run(spark, edges)
+    // size-gated auto path (round 6): the engine's production CC entry —
+    // driver union-find under the cap, the distributed star loop above
+    // it (runAuto == run row-for-row, equality-gated in OperatorSpec);
+    // the distributed loop's ~18 scheduled jobs on this 25-edge input
+    // were pure driver scheduling latency, the cost degraded host
+    // windows multiply
+    graft.canon.ConnectedComponents.runAuto(spark, edges)
   }
 
   val qConnectedComponentsSql =
@@ -247,7 +253,10 @@ object EmbedQueries {
       .select(col("n_nationkey").cast("long").as("a"), (col("n_regionkey") + 100).cast("long").as("b"))
     val e2 = t(spark, dir, "supplier")
       .select((col("s_suppkey") % 25).cast("long").as("a"), ((col("s_suppkey") % 7) + 100).cast("long").as("b"))
-    val prior = graft.canon.ConnectedComponents.run(spark, e1)
+    // prior via the size-gated auto path (round 6; same rows as run —
+    // OperatorSpec equality) — the committed assignment a real stream
+    // would hold, without the star loop's per-round scheduled jobs
+    val prior = graft.canon.ConnectedComponents.runAuto(spark, e1)
     graft.canon.ConnectedComponents.incremental(spark, prior, e2)
   }
 
@@ -277,7 +286,9 @@ object EmbedQueries {
     val rem = e1.filter(col("a") % 3 === 0)
     val add = t(spark, dir, "supplier").filter(col("s_suppkey") % 5 === 1)
       .select((col("s_suppkey") % 25).cast("long").as("a"), ((col("s_suppkey") % 7) + 100).cast("long").as("b"))
-    val prior = graft.canon.ConnectedComponents.run(spark, e1)
+    // prior via the size-gated auto path (round 6; rows identical — see
+    // qCcIncremental)
+    val prior = graft.canon.ConnectedComponents.runAuto(spark, e1)
     graft.canon.ConnectedComponents.maintain(spark, prior, e1, add, rem)
   }
 

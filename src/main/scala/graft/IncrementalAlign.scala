@@ -206,7 +206,8 @@ object IncrementalAlign {
     // shuffles) computes twice inside every downstream action
     val enc = cut(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
     val blockless = rawEmbs.filter(e => bcIds.value.contains(e.id)).toDF("id", "emb")
-      .join(enc.select("id"), Seq("id"), "left_anti")
+      .join(graft.util.BoundedProbe.dimHint(enc.select("id"), boundedDims),
+        Seq("id"), "left_anti")
     enc.unionByName(blockless).as[(Long, Array[Float])]
       .map { case (id, emb) => (id, bcKg.value(id), emb) }
       .toDF("id", "kg", "emb")
@@ -225,7 +226,8 @@ object IncrementalAlign {
     val blocks = blocksFor(spark, triples, ents, rawEmbs, dim, None, boundedDims)
     val enc = cut(MoCoTrainer.encode(spark, blocks, weights).toDF("id", "emb"))
     val blockless = rawEmbs.toDF("id", "emb")
-      .join(enc.select("id"), Seq("id"), "left_anti")
+      .join(graft.util.BoundedProbe.dimHint(enc.select("id"), boundedDims),
+        Seq("id"), "left_anti")
     val kgOf = graft.util.BoundedProbe.dimHint(
       ents.toDF().select(col("id"), col("kg")), boundedDims)
     enc.unionByName(blockless).join(kgOf, "id")

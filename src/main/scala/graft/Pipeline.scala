@@ -249,9 +249,13 @@ object Pipeline {
     val encoded = MoCoTrainer.encode(spark, blocks, weights)
 
     // entities with no triples keep their raw embedding (reference blocks
-    // exist only for entities appearing in triples)
+    // exist only for entities appearing in triples). The anti-join's
+    // build side is an id-only projection bounded by |ents| — under the
+    // dim gate it broadcasts (a shuffle of the full embedding payload
+    // just to find blockless rows was the alternative plan)
     val encodedAll = encoded.toDF("id", "emb").unionByName(
-      embs.toDF("id", "emb").join(encoded.toDF("id", "emb2").select("id"), Seq("id"), "left_anti"))
+      embs.toDF("id", "emb").join(graft.util.BoundedProbe.dimHint(
+        encoded.toDF("id", "emb2").select("id"), dimsBounded), Seq("id"), "left_anti"))
 
     // ---- stage 4: candidate top-k join (KG1 queries vs KG2 corpus) ----
     val kgOf = graft.util.BoundedProbe.dimHint(

@@ -133,11 +133,31 @@ object Queries {
   // ---------- J2: two-key equi join ----------
 
   def qTwoKeyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-    val a = li.select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"), col("l_partkey").as("p1"))
-    val b = li.select(col("l_orderkey").as("k"), (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("p2"))
-    a.join(b, Seq("k", "ln"))
-      .groupBy(col("k")).agg(count(lit(1)).as("n_adjacent"), sum(col("p1") + col("p2")).as("key_sum"))
+    // Round-6 plan (guide §2.3/§2.4 — aggregate before the shuffle,
+    // remove the self-join): the original two-scan self-join on
+    // (k, ln)=(k, ln-1) shuffled the full table twice and re-shuffled
+    // the join output for the final groupBy. (k, ln) is NOT unique in
+    // this data, so the join is a per-(ln, ln+1) cross product; the
+    // same result is exact integer arithmetic over per-(k, ln) partial
+    // aggregates: with c = count, s = sum(partkey) per (k, ln),
+    //   n_adjacent = Σ_ln c(ln)·c(ln+1)
+    //   key_sum    = Σ_ln [c(ln+1)·s(ln) + c(ln)·s(ln+1)]
+    // One scan; the first exchange moves map-side-combined (k, ln, c, s)
+    // rows, the adjacent pairing is a lead() window on the now-unique
+    // (k, ln), and the final groupBy(k) reuses the window's partitioning
+    // — bit-identical rows to the join form (same oracle, same hash).
+    val w = Window.partitionBy(col("k")).orderBy(col("ln").asc)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"), col("l_partkey").as("p"))
+      .groupBy(col("k"), col("ln"))
+      .agg(count(lit(1)).as("c"), sum(col("p")).as("s"))
+      .withColumn("ln2", lead(col("ln"), 1).over(w))
+      .withColumn("c2", lead(col("c"), 1).over(w))
+      .withColumn("s2", lead(col("s"), 1).over(w))
+      .filter(col("ln2") === col("ln") + 1)
+      .groupBy(col("k")).agg(
+        sum(col("c") * col("c2")).as("n_adjacent"),
+        sum(col("c2") * col("s") + col("c") * col("s2")).as("key_sum"))
   }
 
   val qTwoKeyJoinSql =

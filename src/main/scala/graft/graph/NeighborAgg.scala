@@ -119,13 +119,79 @@ object NeighborAgg {
       .agg(new OrderedDedupAgg(limit).toColumn.name("neighbors"))
   }
 
-  /** Assemble NeighborBlocks: explode ordered neighbor ids, join
-    * embeddings (shuffle on neighbor id), re-collect by (center, pos) —
-    * order restored from pos, then prepend center row and zero-pad. */
+  /** Default byte budget for the [[blocks]] broadcast fast path:
+    * override with spark.graft.blocksBroadcastMaxBytes (≤ 0 disables
+    * the fast path outright). 256 MB is a sane executor broadcast on
+    * any modern box; the 10^12-row design point exceeds it and takes
+    * the shuffle-join path below. */
+  val BlocksBroadcastMaxBytes: Long = 256L << 20
+
+  /** Assemble NeighborBlocks from the ordered neighbor lists.
+    *
+    * FAST PATH (round 6, guide §2.3/§3.1 — shuffle fewer bytes): the
+    * general plan explodes each center's neighbor list and shuffle-joins
+    * the embedding table onto it, which moves ~degree × dim × 4 bytes
+    * per center across two exchanges (measured ~2 GB and the single
+    * largest stage of the bench pipeline at E=50k, dim 256 — vs ~100 MB
+    * for the embedding table itself). When one bounded probe proves the
+    * embedding table fits `spark.graft.blocksBroadcastMaxBytes`
+    * (rows ≤ bytes / 4·dim), the table is collected once and broadcast,
+    * and block assembly is MAP-ONLY over the ordered lists — zero
+    * exchanges, identical rows (inner-join semantics preserved: centers
+    * or neighbors without an embedding row drop exactly as the join
+    * dropped them; equality-gated in OperatorSpec). Above the cap — the
+    * 10^12-row design point — the original explode → join → re-collect
+    * plan runs unchanged.
+    *
+    * SHUFFLE PATH: explode ordered neighbor ids, join embeddings
+    * (shuffle on neighbor id), re-collect by (center, pos) — order
+    * restored from pos, then prepend center row and zero-pad. */
   def blocks(spark: SparkSession, ordered: Dataset[(Long, Seq[(String, Long)])],
              embs: Dataset[Emb], ents: Dataset[Entity], dim: Int,
              boundedDims: Boolean = true): Dataset[NeighborBlock] = {
     import spark.implicits._
+    val bcMaxBytes = spark.conf.getOption("spark.graft.blocksBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(BlocksBroadcastMaxBytes)
+    val bcMaxRows = bcMaxBytes / (4L * math.max(1, dim))
+    // the dictionary gate (boundedDims) bounds the kg lookup side; the
+    // byte probe bounds the embedding payload itself
+    if (boundedDims && bcMaxRows > 0 &&
+        graft.util.BoundedProbe.atMost(embs.toDF(), bcMaxRows)) {
+      val embMap = new scala.collection.mutable.LongMap[Array[Float]]()
+      embs.collect().foreach(e => embMap.update(e.id, e.emb))
+      val kgMap = new scala.collection.mutable.LongMap[Int]()
+      ents.toDF().select(col("id"), col("kg")).as[(Long, Int)]
+        .collect().foreach { case (id, kg) => kgMap.update(id, kg) }
+      val bcEmb = spark.sparkContext.broadcast(embMap)
+      val bcKg = spark.sparkContext.broadcast(kgMap)
+      return ordered.mapPartitions { it =>
+          val em = bcEmb.value; val km = bcKg.value
+          it.flatMap { case (center, ns) =>
+            // inner-join semantics: center must have an embedding AND a
+            // kg row; neighbors without an embedding drop (closing the
+            // gap, like the shuffle join); a center whose neighbors all
+            // drop disappears (the groupBy saw no row for it)
+            val cembOpt = em.get(center)
+            val kgOpt = km.get(center)
+            if (cembOpt.isEmpty || kgOpt.isEmpty) Iterator.empty
+            else {
+              val nembs = ns.iterator.flatMap(n => em.get(n._2)).toArray
+              if (nembs.isEmpty) Iterator.empty
+              else {
+                val n = math.min(nembs.length + 1, Dims.NeighborSize)
+                val flat = new Array[Float](n * dim)
+                System.arraycopy(cembOpt.get, 0, flat, 0, dim)
+                var i = 1
+                while (i < n) {
+                  System.arraycopy(nembs(i - 1), 0, flat, i * dim, dim)
+                  i += 1
+                }
+                Iterator.single(NeighborBlock(center, kgOpt.get, flat, n))
+              }
+            }
+          }
+        }
+    }
     val embDf = embs.toDF("eid", "emb")
     val kgDf = graft.util.BoundedProbe.dimHint(
       ents.toDF().select(col("id").as("cid"), col("kg")), boundedDims)

@@ -22,6 +22,7 @@ object TimeOne {
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.local.dir", "/dev/shm/spark-graft")
       .config("spark.io.compression.lz4.blockSize", "512k")

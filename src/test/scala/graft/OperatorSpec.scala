@@ -446,6 +446,36 @@ class OperatorSpec extends SparkTestBase {
     assert(tiled == base)
   }
 
+  test("blocks broadcast fast path == shuffle-join path, row for row") {
+    // round-6 gate: NeighborAgg.blocks' size-gated broadcast assembly
+    // (spark.graft.blocksBroadcastMaxBytes) must be bit-identical to the
+    // explode→join→re-collect plan — including the inner-join semantics
+    // for ids with no embedding row (dropped, gap closed) and centers
+    // whose neighbors all drop (absent from the output)
+    val synth = ingest.SynthConfig(entitiesPerKg = 60)
+    val dim = 16
+    val ents = ingest.DocSynthesizer.entities(spark, synth)
+    val triples = ingest.DocSynthesizer.goldTriples(spark, synth, 1)
+      .union(ingest.DocSynthesizer.goldTriples(spark, synth, 2))
+    val withSeq = triples.map(t => (t, (t.head << 20) ^ t.tail ^ (t.rel << 40)))
+    val edges = NeighborAgg.undirectedEdges(spark, withSeq, ents)
+    val ordered = NeighborAgg.orderedNeighbors(spark, edges, ents)
+    // drop a few embedding rows to exercise the missing-id semantics
+    val embs = Embedder.embedEntities(spark, ents, EmbedderConfig(dim = dim))
+      .filter(e => e.id % 7 != 3)
+    def collectBlocks(maxBytes: String): Map[Long, (Int, Int, Seq[Float])] = {
+      spark.conf.set("spark.graft.blocksBroadcastMaxBytes", maxBytes)
+      try NeighborAgg.blocks(spark, ordered, embs, ents, dim).collect()
+        .map(b => b.id -> ((b.kg, b.validLen, b.emb.toSeq))).toMap
+      finally spark.conf.unset("spark.graft.blocksBroadcastMaxBytes")
+    }
+    val fast = collectBlocks((256L << 20).toString)
+    val shuffle = collectBlocks("0")
+    assert(fast.keySet == shuffle.keySet)
+    assert(fast == shuffle)
+    assert(fast.nonEmpty)
+  }
+
   test("BoundedProbe.atMost is exact at the boundary across partitionings") {
     import spark.implicits._
     for (parts <- Seq(1, 3, 16)) {
