@@ -23,7 +23,30 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Panama vector API (incubator module shipped with this JDK): the
+// quantized-dot SIMD kernel (candidates/DotSimd.java) compiles against
+// it and probes for it at runtime — a JVM without the module degrades
+// to the scalar loop, bit-identically.
+// DotSimd.java compiles ONLY when the build JVM itself resolves the
+// incubator module (.jvmopts adds it to sbt's JVM; zinc's Java API
+// extraction loads produced classes reflectively, so a module-less
+// build JVM must skip the file). Nothing references DotSimd at compile
+// time — candidates/DotQ.java binds it via MethodHandle and the
+// scoring loop falls back to the scalar kernel, bit-identically.
+lazy val hasVectorModule: Boolean =
+  try { Class.forName("jdk.incubator.vector.ShortVector"); true }
+  catch { case _: Throwable => false }
+javacOptions ++= (if (hasVectorModule) Seq("--add-modules", "jdk.incubator.vector") else Seq.empty)
+Compile / unmanagedSources := {
+  val srcs = (Compile / unmanagedSources).value
+  if (hasVectorModule) srcs else srcs.filterNot(_.getName == "DotSimd.java")
+}
+compileOrder := CompileOrder.JavaThenScala
+javaOptions ++= jdk17AddOpens ++
+  // forked run/test JVMs use the same java as the build JVM; only pass
+  // the incubator module when it exists (a bare --add-modules of a
+  // missing module fails JVM startup outright)
+  (if (hasVectorModule) Seq("--add-modules", "jdk.incubator.vector") else Seq.empty) ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // Shuffle/spill scratch on tmpfs: this VM's block device serializes

@@ -246,7 +246,13 @@ object Pipeline {
       }
       else align.GatKernel.initWeights(cfg.embed.dim)
         .withNorms(cfg.moco.centerNorm, cfg.moco.neighborNorm)
-    val encoded = MoCoTrainer.encode(spark, blocks, weights)
+    // cut: `encoded` is referenced twice below (union branch + the
+    // anti-join's id projection), and the encode stage has no exchange
+    // of its own for Spark's shuffle-stage reuse to land on once the
+    // broadcast block assembly is in — without the cut the GAT forward
+    // pass over every block ran TWICE per downstream action (round 6;
+    // the incremental twins encodeIds/encodeAll have always cut here)
+    val encoded = graft.util.Lineage.cut(MoCoTrainer.encode(spark, blocks, weights))
 
     // entities with no triples keep their raw embedding (reference blocks
     // exist only for entities appearing in triples). The anti-join's

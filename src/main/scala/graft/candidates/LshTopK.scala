@@ -143,20 +143,36 @@ object LshTopK {
     out
   }
 
-  /** 4-way unrolled int dot over quantized vectors → cosine in [-1, 1]. */
-  def dotQ(a: Array[Short], b: Array[Short]): Double = {
+  /** Int dot over quantized vectors → cosine in [-1, 1].
+    *
+    * INT ACCUMULATOR, deliberately (round 6): both inputs are
+    * quantizations of L2-NORMALIZED vectors, so by Cauchy–Schwarz every
+    * PREFIX sum of products is bounded by |a|·|b| ≤ (32767 + ½√n)² ≈
+    * 1.08e9 — under half of Int.MaxValue, so the int accumulator can
+    * never wrap (exactness re-checked against a long-accumulated
+    * reference incl. ±unit-spike worst cases in OperatorSpec and
+    * tools/DotBench). The payoff is the paired form
+    * `s += a(i)*b(i) + a(i+1)*b(i+1)`, which HotSpot C2 recognizes as
+    * MulAddS2I and auto-vectorizes to pmaddwd-class SIMD — measured
+    * ~4× the long-accumulated scalar loop on this box, on the frame
+    * that is ~70% of the LSH scoring stage's CPU (StackProfile E=50k).
+    * The returned integer is bit-identical either way, so every
+    * candidate score is unchanged. */
+  private[candidates] def dotQScalarInt(a: Array[Short], b: Array[Short]): Int = {
     val n = a.length
-    var s0 = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L
+    var s = 0
     var i = 0
-    while (i < n - 3) {
-      s0 += a(i) * b(i).toLong
-      s1 += a(i + 1) * b(i + 1).toLong
-      s2 += a(i + 2) * b(i + 2).toLong
-      s3 += a(i + 3) * b(i + 3).toLong
-      i += 4
+    while (i < n - 1) {
+      s += a(i) * b(i) + a(i + 1) * b(i + 1)
+      i += 2
     }
-    while (i < n) { s0 += a(i) * b(i).toLong; i += 1 }
-    ((s0 + s1) + (s2 + s3)).toDouble / (QScale.toDouble * QScale)
+    if (i < n) s += a(i) * b(i)
+    s
+  }
+
+  def dotQ(a: Array[Short], b: Array[Short]): Double = {
+    val s = if (DotQ.AVAILABLE) DotQ.dot(a, b) else dotQScalarInt(a, b)
+    s.toDouble / (QScale.toDouble * QScale)
   }
 
   /** Corpus side of one scoring cell as parallel primitive arrays — no

@@ -142,8 +142,42 @@ object ConnectedComponents {
   def incremental(spark: SparkSession, priorAssign: DataFrame,
                   newEdges0: DataFrame, maxIter: Int = 20,
                   driverCap: Int = 2000000): DataFrame = {
+    import spark.implicits._
     val prior = priorAssign
       .select(col("node").cast("long"), col("component").cast("long"))
+    // DRIVER FAST PATH (round 6) — the same shape as maintainDetailed's:
+    // the delta and the touched components' member sets are delta-sized
+    // in the continuous-ingest contract, so the merge solves in a
+    // driver union-find with three narrow jobs instead of the
+    // distributed path's ~12 join/broadcast query stages (each job
+    // bills 0.1-5 s of driver latency in this VM's degraded windows).
+    // Falls back to the distributed merge when any collected set
+    // exceeds driverCap. Exactness: both paths are gated by the same
+    // OperatorSpec incremental == run(E1 ∪ E2) laws.
+    val newArr0 = graft.util.BoundedCollect.limitCollect(
+      newEdges0.select(col("a").cast("long"), col("b").cast("long"))
+        .filter(col("a") =!= col("b")).as[(Long, Long)], driverCap + 1)
+    if (newArr0.length <= driverCap && newArr0.length <= 100000) {
+      val newSet = newArr0.iterator.map(e => normPair(e._1, e._2)).toSet
+      val endpointSet = newSet.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val bcEndp = spark.sparkContext.broadcast(endpointSet)
+      val priorT = prior.as[(Long, Long)]
+      val touchedComps = priorT.filter(r => bcEndp.value.contains(r._1))
+        .map(_._2).collect().toSet
+      val bcComps = spark.sparkContext.broadcast(touchedComps)
+      val membersArr = graft.util.BoundedCollect.limitCollect(
+        priorT.filter(r => bcComps.value.contains(r._2)), driverCap + 1)
+      if (membersArr.length <= driverCap) {
+        // star edges preserve each touched component's connectivity
+        val starEdges = membersArr.iterator
+          .filter { case (n, c) => n != c }.map { case (n, c) => (n, c) }
+        val merged = localCC((starEdges ++ newSet.iterator).toArray)
+        val keepPrior = priorT.filter(r => !bcComps.value.contains(r._2))
+          .toDF("node", "component")
+        return keepPrior.unionByName(
+          spark.createDataset(merged.toSeq).toDF("node", "component"))
+      }
+    }
     val newEdges = newEdges0
       .select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a") =!= col("b")).distinct()

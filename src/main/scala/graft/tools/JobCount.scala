@@ -31,6 +31,8 @@ object JobCount {
     @volatile var gapMs = 0L
     @volatile var inJobMs = 0L
     @volatile var lastEnd = 0L
+    @volatile var taskRunMs = 0L
+    @volatile var taskCpuNs = 0L
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
         jobs += 1
@@ -45,8 +47,25 @@ object JobCount {
       override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized { lastEnd = j.time }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = synchronized {
         stages += 1
-        inJobMs += s.stageInfo.completionTime.getOrElse(0L) - s.stageInfo.submissionTime.getOrElse(0L)
+        val dur = s.stageInfo.completionTime.getOrElse(0L) - s.stageInfo.submissionTime.getOrElse(0L)
+        inJobMs += dur
+        if (sys.env.contains("SPARK_GRAFT_STAGELOG")) {
+          val rdds = s.stageInfo.rddInfos.map(_.name).distinct.mkString(",").take(110)
+          val tm = s.stageInfo.taskMetrics
+          val run = if (tm != null) tm.executorRunTime / 1000.0 else -1.0
+          val cpu = if (tm != null) tm.executorCpuTime / 1e9 else -1.0
+          val sr = if (tm != null) tm.shuffleReadMetrics.totalBytesRead >> 20 else -1L
+          val sw = if (tm != null) tm.shuffleWriteMetrics.bytesWritten >> 20 else -1L
+          println(f"[stage] ${s.stageInfo.stageId}%4d ${dur / 1000.0}%7.2f s tasks=${s.stageInfo.numTasks}%3d run=$run%.1f cpu=$cpu%.1f sRd=${sr}M sWr=${sw}M ${s.stageInfo.name.take(40)} | $rdds")
+        }
       }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized {
+          if (t.taskMetrics != null) {
+            taskRunMs += t.taskMetrics.executorRunTime
+            taskCpuNs += t.taskMetrics.executorCpuTime
+          }
+        }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -56,7 +75,8 @@ object JobCount {
     if (warm > 0) {
       graft.Pipeline.runSynthetic(spark, cfg).canonicalTriples.count()
       Thread.sleep(500)
-      synchronized { jobs = 0; stages = 0; gapMs = 0L; inJobMs = 0L; lastEnd = 0L }
+      synchronized { jobs = 0; stages = 0; gapMs = 0L; inJobMs = 0L; lastEnd = 0L
+        taskRunMs = 0L; taskCpuNs = 0L }
       println("[jobcount] === warmup done; counting run 2 ===")
     }
     val t0 = System.nanoTime()
@@ -64,7 +84,8 @@ object JobCount {
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // let the listener bus drain
     println(f"[jobcount] cores=$cores E=$e triples=$n wall=$wall%.1f s jobs=$jobs stages=$stages " +
-      f"between_jobs=${gapMs / 1000.0}%.1f s stage_time=${inJobMs / 1000.0}%.1f s")
+      f"between_jobs=${gapMs / 1000.0}%.1f s stage_time=${inJobMs / 1000.0}%.1f s " +
+      f"task_run=${taskRunMs / 1000.0}%.1f s task_cpu=${taskCpuNs / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -304,10 +304,17 @@ class OperatorSpec extends SparkTestBase {
     val e1 = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
     val e2 = Seq((2L, 3L)).toDF("a", "b")
     val prior = ConnectedComponents.run(spark, e1)
-    val out = ConnectedComponents.incremental(spark, prior, e2)
+    // driverCap=0 pins the DISTRIBUTED merge (round 6 added a driver
+    // union-find fast path under the cap — gated equal below); the
+    // distributed plan must still stream untouched components through
+    // a broadcast anti-join, never the star loop
+    val out = ConnectedComponents.incremental(spark, prior, e2, driverCap = 0)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected broadcast anti-join pass-through, got:\n$plan")
     assert(ccAsMap(out) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // default path (driver union-find at this size): identical rows
+    assert(ccAsMap(ConnectedComponents.incremental(spark, prior, e2)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
   test("incremental CC equals full CC on a seeded random graph split (property)") {
@@ -444,6 +451,29 @@ class OperatorSpec extends SparkTestBase {
     val tiled = run(7)
     assert(base.nonEmpty, "fixture produced no shared buckets")
     assert(tiled == base)
+  }
+
+  test("dotQ (SIMD or scalar) == long-accumulated reference, bit for bit") {
+    // round-6 gate for the int-accumulator / Panama kernel swap: on
+    // quantized L2-normalized inputs every prefix/subset sum is
+    // Cauchy-Schwarz-bounded under Int.MaxValue/2, so the int kernels
+    // must agree exactly with the overflow-proof long loop — including
+    // the +-unit-spike extremes (|dot| maximal) and odd lengths
+    val rnd = new scala.util.Random(41)
+    for (dim <- Seq(1, 2, 31, 32, 48, 256, 257)) {
+      val vecs = Array.fill(64) {
+        val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+        LshTopK.quantize(Embedder.l2normalize(v))
+      }
+      val spike = { val v = new Array[Float](dim); v(0) = 1f; LshTopK.quantize(v) }
+      val negSpike = { val v = new Array[Float](dim); v(0) = -1f; LshTopK.quantize(v) }
+      for (a <- vecs.take(16) ++ Array(spike, negSpike);
+           b <- vecs.take(16) ++ Array(spike, negSpike)) {
+        val got = LshTopK.dotQ(a, b)
+        val want = graft.tools.DotBench.dotQRefLong(a, b)
+        assert(got == want, s"dim=$dim: $got != $want")
+      }
+    }
   }
 
   test("blocks broadcast fast path == shuffle-join path, row for row") {
