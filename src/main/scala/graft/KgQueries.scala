@@ -11,6 +11,48 @@ import graft.kg._
   * oracle-checked building blocks above. */
 object KgQueries {
 
+  /** Run `f` with AQE disabled, restoring the session's setting after.
+    *
+    * Battery-fixture scope ONLY (guide §1.2: right algorithm for the
+    * job size). The fixture pipelines here are tiny by construction
+    * (≤80 entities/KG) — AQE has nothing to re-plan on them, but it
+    * materializes every exchange as its own driver-scheduled query-stage
+    * job: measured same-session on the battery shapes, the incremental
+    * family runs 57/66/31 jobs with AQE vs 41/42/22 without, and each
+    * scheduled job costs 0.1–5 s of driver latency depending on the
+    * host window (BENCH.md) — 49→14 s (q_kg_incremental) and 109→22 s
+    * (q_kg_indexed) in the A/B window. The operators themselves
+    * (IncrementalAlign, LshTopK, IvfTopK) never touch this conf: at
+    * scale AQE's runtime re-planning is wanted, and the bench session
+    * keeps it ON (Bench.scala session conf, frozen). Row-identity is
+    * guaranteed by the suite's conf/partitioning-independence laws
+    * (IncrementalSpec epoch equality across shuffle confs; deterministic
+    * candidate geometry + total-order tie-breaks). */
+  private def withFixtureConf[T](spark: SparkSession, interpreted: Boolean = true)(f: => T): T = {
+    // partitions sized to the FIXTURE (≤80 entities/KG → 8 covers every
+    // shuffle with room), not to the machine: without AQE's coalescing
+    // the session's battery-scale partition count would schedule 64
+    // near-empty tasks per exchange on 40-row data
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8") ++ (if (interpreted) Seq(
+      // janino compilation of per-plan generated classes is the other
+      // fixed driver cost of the tiny fixtures (codegen frames ~70
+      // CPU-s over the two incremental builds, tools/CpuProfile);
+      // interpreted evaluation is semantically identical (it is
+      // Spark's own codegen fallback) and instant on ≤80-row frames.
+      // NOT applied to the LSH/IVF candidate queries (interpreted =
+      // false): their sf-scale Dataset-encoder hot loops are exactly
+      // where codegen pays (measured 16 → 336 CPU-s interpreted)
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") else Nil)
+    val prev = confs.map { case (k, v) => (k, spark.conf.getOption(k)) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   private lazy val tinyCfg = PipelineConfig(
     synth = graft.ingest.SynthConfig(entitiesPerKg = 80),
     embed = graft.embed.EmbedderConfig(dim = 48))
@@ -22,7 +64,7 @@ object KgQueries {
   private val resultCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, PipelineResult]()
   private def tinyResult(spark: SparkSession): PipelineResult =
-    resultCache.computeIfAbsent(spark, s => {
+    resultCache.computeIfAbsent(spark, s => withFixtureConf(s) {
       val r = Pipeline.runSynthetic(s, tinyCfg)
       r.idTriples.persist(); r.entities.persist()
       r.alignment.persist(); r.canonicalTriples.persist()
@@ -54,8 +96,10 @@ object KgQueries {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb")).as[Emb]
     val q = e.filter(_.id < 50)
-    graft.candidates.LshTopK.topK(spark, q, e.filter(_.id >= 50), 5).toDF()
-      .select(col("srcId"), col("dstId"), col("rank"))
+    withFixtureConf(spark, interpreted = false) {
+      graft.candidates.LshTopK.topK(spark, q, e.filter(_.id >= 50), 5).toDF()
+        .select(col("srcId"), col("dstId"), col("rank"))
+    }
   }
 
   /** IVF-blocked (inverted-file) top-k over the harness embeddings —
@@ -66,8 +110,10 @@ object KgQueries {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb")).as[Emb]
     val q = e.filter(_.id < 50)
-    graft.candidates.IvfTopK.topK(spark, q, e.filter(_.id >= 50), 5).toDF()
-      .select(col("srcId"), col("dstId"), col("rank"))
+    withFixtureConf(spark, interpreted = false) {
+      graft.candidates.IvfTopK.topK(spark, q, e.filter(_.id >= 50), 5).toDF()
+        .select(col("srcId"), col("dstId"), col("rank"))
+    }
   }
 
   /** SSL ablation alignment (align/SslPath — the reference's
@@ -79,8 +125,10 @@ object KgQueries {
     val cfg = tinyCfg.copy(useSsl = true, useMoco = true,
       moco = graft.align.MoCoConfig(batchSize = 8, queueLen = 4, epochs = 1,
         lr0 = 0.02, combineShards = 8))
-    Pipeline.runSynthetic(spark, cfg).alignment.toDF()
-      .select(col("srcId"), col("dstId"), col("rank"), round(col("score"), 4).as("rsm_score"))
+    withFixtureConf(spark) {
+      Pipeline.runSynthetic(spark, cfg).alignment.toDF()
+        .select(col("srcId"), col("dstId"), col("rank"), round(col("score"), 4).as("rsm_score"))
+    }
   }
 
   /** One shared continuous-construction fixture per session (the same
@@ -96,7 +144,7 @@ object KgQueries {
   private val incCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), (AlignState, Set[String])]()
   private def incFixture(spark: SparkSession, useIndex: Boolean = false): (AlignState, Set[String]) =
-    incCache.computeIfAbsent((spark, useIndex), { case (s, idxMode) =>
+    incCache.computeIfAbsent((spark, useIndex), { case (s, idxMode) => withFixtureConf(s) {
       val icfg = incFixtureCfg(idxMode)
       val e1 = 30; val e = 40
       val cfg1 = graft.ingest.SynthConfig(entitiesPerKg = e1)
@@ -110,7 +158,7 @@ object KgQueries {
         graft.ingest.DocSynthesizer.entities(s, cfgU)
           .filter(en => (en.id % graft.ingest.DocSynthesizer.Kg2Base) >= e1), icfg)
       (s2, docs2.collect().map(_.doc_id).toSet)
-    })
+    } })
 
   /** Continuous-construction mode (IncrementalAlign): bootstrap a
     * committed state from batch 1, then merge a delta batch with
@@ -127,8 +175,10 @@ object KgQueries {
     * `retract(delta(initial(b1), b2), docs(b2)) == initial(b1, dictU)`. */
   def qKgRetract(spark: SparkSession, dir: String): DataFrame = {
     val (s2, docIds2) = incFixture(spark)
-    IncrementalAlign.retract(spark, s2, docIds2, incFixtureCfg()).canonical
-      .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+    withFixtureConf(spark) {
+      IncrementalAlign.retract(spark, s2, docIds2, incFixtureCfg()).canonical
+        .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+    }
   }
 
   /** INDEXED continuous mode: the same two-batch chain under the frozen
@@ -150,11 +200,14 @@ object KgQueries {
     * tools/DriftProbe). Rows-only; the binding gate is IncrementalSpec's
     * component-for-component equality with a fresh initial over the
     * grown corpus, including the freshly fit geometry. */
-  def qKgRebootstrap(spark: SparkSession, dir: String): DataFrame =
-    IncrementalAlign.rebootstrap(spark, incFixture(spark, useIndex = true)._1,
-      incFixtureCfg(useIndex = true))
-      .canonical
-      .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+  def qKgRebootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = incFixture(spark, useIndex = true)._1
+    withFixtureConf(spark) {
+      IncrementalAlign.rebootstrap(spark, fixture, incFixtureCfg(useIndex = true))
+        .canonical
+        .select("head", "rel", "tail", "subj", "pred", "obj", "subjId", "objId")
+    }
+  }
 
   /** Neighbor blocks built from the synthetic KG: id, kg, validLen. */
   def qKgNeighborBlocks(spark: SparkSession, dir: String): DataFrame = {

@@ -175,9 +175,13 @@ object Pipeline {
     import spark.implicits._
 
     // ---- stage 0: load normalization (DWY lowercase discipline) ----
-    val ents =
+    // cut: the dictionary is consumed by ~6 downstream subtrees (probe,
+    // extraction dict, kgOf, names ×2, auto-path count) — without the
+    // cut each re-runs the load/synthesis map (the incremental twin
+    // IncrementalAlign.initial has always cut here)
+    val ents = graft.util.Lineage.cut(
       if (cfg.lowercaseNames) ents0.map(e => e.copy(name = e.name.toLowerCase))
-      else ents0
+      else ents0)
 
     // one bounded probe decides every forced dim-broadcast this run
     val dimsBounded = cfg.dimBroadcastMaxRows > 0 &&
@@ -194,7 +198,14 @@ object Pipeline {
         TableIO.computeIfAbsent(spark, s"$dir/id_triples", "extract") {
           Extraction.idTriples(spark, raw, ents, dimsBounded).toDF()
         }.as[Triple]
-      case None => Extraction.idTriples(spark, raw, ents, dimsBounded)
+      // cut: the triple table feeds the direction-union edge build
+      // (which otherwise re-runs doc synthesis + extraction TWICE — the
+      // two union branches are separate map subtrees over the doc
+      // source) and the stage-6 materialize join (a third pass).
+      // Measured at E=50k/8c: the re-extraction stage billed ~147
+      // task-seconds of the 559 s run (tools/BenchOne stage table);
+      // the localCheckpoint is one narrow triple table.
+      case None => graft.util.Lineage.cut(Extraction.idTriples(spark, raw, ents, dimsBounded))
     }
 
     // ---- stage 1b: media-features side table (multimodal lineage) ----
@@ -215,7 +226,9 @@ object Pipeline {
         TableIO.computeIfAbsent(spark, s"$dir/embeddings", "embed") {
           Embedder.embedEntities(spark, ents, cfg.embed).toDF()
         }.as[Emb]
-      case None => Embedder.embedEntities(spark, ents, cfg.embed)
+      // cut: consumed by the block assembly AND the blockless fallback
+      // branch — two hash-embedding passes over the dictionary without it
+      case None => graft.util.Lineage.cut(Embedder.embedEntities(spark, ents, cfg.embed))
     }
 
     // ---- stage 3: neighbor aggregation + encoding ----

@@ -158,18 +158,35 @@ object DocSynthesizer {
 
   // ---------- Dataset builders ----------
 
+  /** Scale-adaptive partition count for synthesized frames: derived
+    * from the ROW COUNT (≥2048 rows per partition), capped at the
+    * session parallelism — not a machine constant. At bench-ladder
+    * sizes (E=50k → 100k rows) this saturates the cap, so the N-vs-4N
+    * plan is exactly what it was (both levels pin the same
+    * defaultParallelism, Bench.session); at fixture sizes (≤160 rows)
+    * it is 1 — the battery's tiny pipelines otherwise carry
+    * defaultParallelism near-empty partitions through every downstream
+    * map/cut, and each cut()/persist block costs a buffer-chunk
+    * allocation on this host's slow page-alloc path (measured: the
+    * 32-partition fixtures burned ~50 CPU-s in
+    * ChunkedByteBufferOutputStream/HeapByteBuffer allocation alone,
+    * tools/CpuProfile). Row CONTENT is a pure function of the row
+    * index, so partitioning never changes any produced row. */
+  private def partsFor(spark: SparkSession, rows: Long): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (rows / 2048L + 1L).toInt))
+
   def docs(spark: SparkSession, cfg: SynthConfig): Dataset[Doc] = {
     import spark.implicits._
     val e = cfg.entitiesPerKg
-    spark.range(0, 2L * e)
-      .repartition(spark.sparkContext.defaultParallelism)
+    spark.range(0, 2L * e, 1L, partsFor(spark, 2L * e))
       .map { n => val kg = if (n < e) 1 else 2; docOf(cfg, kg, n % e) }
   }
 
   def entities(spark: SparkSession, cfg: SynthConfig): Dataset[Entity] = {
     import spark.implicits._
     val e = cfg.entitiesPerKg
-    spark.range(0, 2L * e).map { n =>
+    spark.range(0, 2L * e, 1L, partsFor(spark, 2L * e)).map { n =>
       val kg = if (n < e) 1 else 2; val i = n % e
       Entity(entityId(kg, i), entityName(cfg, kg, i), kg)
     }

@@ -12,7 +12,7 @@ object BenchOne {
   /** Per-stage accounting row (diagnosis of anti-scaling): records and
     * spill separate "more rows" from "fatter serialization" when shuffle
     * bytes move between configurations. */
-  private final case class St(name: String, wall: Long, run: Long, gc: Long,
+  private final case class St(name: String, wall: Long, run: Long, cpu: Long, gc: Long,
                               deser: Long, fetchWait: Long,
                               shufWB: Long, shufWRec: Long,
                               shufRB: Long, shufRRec: Long,
@@ -67,7 +67,7 @@ object BenchOne {
           .map(_.trim.take(80)).getOrElse(si.name.takeWhile(_ != '\n').take(60))
         val job = stageJob.getOrDefault(si.stageId, "")
         stages.put(si.stageId, St(s"[${si.numTasks}t] $job | $graftFrame", wall,
-          m.executorRunTime, m.jvmGCTime, m.executorDeserializeTime,
+          m.executorRunTime, m.executorCpuTime / 1000000, m.jvmGCTime, m.executorDeserializeTime,
           m.shuffleReadMetrics.fetchWaitTime,
           m.shuffleWriteMetrics.bytesWritten, m.shuffleWriteMetrics.recordsWritten,
           m.shuffleReadMetrics.totalBytesRead, m.shuffleReadMetrics.recordsRead,
@@ -90,10 +90,10 @@ object BenchOne {
     import scala.jdk.CollectionConverters._
     val top = stages.asScala.toSeq.sortBy(-_._2.run).take(12)
     top.foreach { case (id, s) =>
-      println(f"[benchone] stage=$id%-4d wall=${s.wall / 1000.0}%7.1fs taskSum=${s.run / 1000.0}%8.1fs gc=${s.gc / 1000.0}%6.1fs deser=${s.deser / 1000.0}%6.1fs fetchW=${s.fetchWait / 1000.0}%6.1fs shufW=${s.shufWB / 1e9}%6.2fGB/${s.shufWRec / 1e6}%5.1fM shufR=${s.shufRB / 1e9}%6.2fGB/${s.shufRRec / 1e6}%5.1fM spill=${s.spillDisk / 1e9}%5.2fGB  ${s.name}")
+      println(f"[benchone] stage=$id%-4d wall=${s.wall / 1000.0}%7.1fs taskSum=${s.run / 1000.0}%8.1fs cpu=${s.cpu / 1000.0}%8.1fs gc=${s.gc / 1000.0}%6.1fs deser=${s.deser / 1000.0}%6.1fs fetchW=${s.fetchWait / 1000.0}%6.1fs shufW=${s.shufWB / 1e9}%6.2fGB/${s.shufWRec / 1e6}%5.1fM shufR=${s.shufRB / 1e9}%6.2fGB/${s.shufRRec / 1e6}%5.1fM spill=${s.spillDisk / 1e9}%5.2fGB  ${s.name}")
     }
     val tot = stages.asScala.values
-    println(f"[benchone] TOTAL taskSum=${tot.map(_.run).sum / 1000.0}%.1fs gc=${tot.map(_.gc).sum / 1000.0}%.1fs deser=${tot.map(_.deser).sum / 1000.0}%.1fs shufWrite=${tot.map(_.shufWB).sum / 1e9}%.2fGB spillDisk=${tot.map(_.spillDisk).sum / 1e9}%.2fGB stages=${stages.size}")
+    println(f"[benchone] TOTAL taskSum=${tot.map(_.run).sum / 1000.0}%.1fs cpu=${tot.map(_.cpu).sum / 1000.0}%.1fs gc=${tot.map(_.gc).sum / 1000.0}%.1fs deser=${tot.map(_.deser).sum / 1000.0}%.1fs shufWrite=${tot.map(_.shufWB).sum / 1e9}%.2fGB spillDisk=${tot.map(_.spillDisk).sum / 1e9}%.2fGB stages=${stages.size}")
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object TimeOne {
     @volatile var gapMs = 0L
     @volatile var lastEnd = 0L
     val jobLog = sys.env.getOrElse("SPARK_GRAFT_JOBLOG", "0")
+    val jobStartAt = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     if (jobLog != "0")
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -46,26 +47,36 @@ object TimeOne {
             jobs += 1; if (lastEnd > 0) gapMs += math.max(0L, j.time - lastEnd)
             if (jobLog == "2") {
               val site = j.stageInfos.lastOption.map(_.name.take(70)).getOrElse("?")
-              val desc = Option(j.properties)
-                .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("-")
-              println(f"[job] #${j.jobId}%3d stages=${j.stageInfos.size}%2d $desc%-46s $site")
+              val gap = if (lastEnd > 0) math.max(0L, j.time - lastEnd) else 0L
+              jobStartAt.put(j.jobId, (j.time, f"gap=${gap / 1000.0}%.1f stages=${j.stageInfos.size}%2d $site"))
             }
           }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-          synchronized { lastEnd = math.max(lastEnd, j.time) }
+          synchronized {
+            lastEnd = math.max(lastEnd, j.time)
+            if (jobLog == "2") Option(jobStartAt.remove(j.jobId)).foreach { case (t0, info) =>
+              println(f"[job] #${j.jobId}%3d dur=${(j.time - t0) / 1000.0}%6.2f $info")
+            }
+          }
         override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
           synchronized { stages += 1 }
       })
+    // process CPU (user+sys of the whole JVM) — the window-stable cost
+    // metric on this host, whose wall clock swings 2-3x with scheduling
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     (1 to reps).foreach { i =>
       names.foreach { name =>
         val fn = graft.SparkEntry.queries(name)
         val (j0, s0, g0) = (jobs, stages, gapMs)
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val jInfo = if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
           f" jobs=${jobs - j0} stages=${stages - s0} gaps=${(gapMs - g0) / 1000.0}%.1f" else ""
-        println(f"TIMEONE $name rep=$i rows=$n sec=$sec%.3f$jInfo")
+        println(f"TIMEONE $name rep=$i rows=$n sec=$sec%.3f cpu=$cpu%.1f$jInfo")
       }
     }
     spark.stop()
