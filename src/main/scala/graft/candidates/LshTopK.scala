@@ -378,9 +378,13 @@ object LshTopK {
     // shuffle bytes (the banded repartition was one of two full banded
     // shuffles — ~1 GB/side at 100k×256 — and shuffle IO is what
     // saturates memory bandwidth at 32 threads).
-    // Persist: the banded sets feed BOTH the bucket-count job and the
-    // main cogroup; without persist each action re-runs banding
-    // (measured ~80 s redundant at 100k vectors).
+    // The banded sets are NOT persisted (round 6): their only consumer
+    // is the salted cogroup below — the bucket-count job now reads a
+    // KEYS-ONLY banding pass over the raw persisted inputs instead
+    // (20 projection dots per row, no quantize/prefix materialization),
+    // so the in-memory columnar cache build of the ~bands×-expanded
+    // banded frames (~45 CPU-s of ColumnBuilder work at E=50k,
+    // tools/CpuProfile, plus its GC pressure) buys nothing.
     // The partition count is DATA-derived (~64 MB of banded rows per
     // partition), floored by the session parallelism — NOT a multiple of
     // core count: the shuffle-write path carries a real per-output-
@@ -394,17 +398,30 @@ object LshTopK {
     val bandedBytes = nCorpus * cfg.bands * (dim * 2L + 8L * cfg.bands / 2 + 48)
     val spread = math.max(spark.sparkContext.defaultParallelism,
       (bandedBytes / (64L << 20)).toInt + 1)
-    val qb = banded(qP.repartition(spread)).persist(StorageLevel.MEMORY_AND_DISK)
-    val cb = banded(cP.repartition(spread)).persist(StorageLevel.MEMORY_AND_DISK)
+    val qb = banded(qP.repartition(spread))
+    val cb = banded(cP.repartition(spread))
 
     // --- 2-D salt tiling from per-side bucket counts (ONE fused job) ---
     // RDD reduceByKey, not a DataFrame groupBy: the key-only count is a
     // fixed per-run action, and with AQE on, the groupBy form ran as 3
     // driver-scheduled query-stage jobs plus a codegen compile — pure
     // serial floor at small rungs. This form is one job (map-side
-    // combine + one narrow count shuffle), identical result set.
-    val hot = qb.rdd.map(r => ((0, r._1, r._2), 1L))
-      .union(cb.rdd.map(r => ((1, r._1, r._2), 1L)))
+    // combine + one narrow count shuffle), identical result set —
+    // band-key counts are a pure function of the rows, independent of
+    // which side/partitioning computes them.
+    def bandKeyRows(ds: Dataset[Emb], side: Int) = ds.rdd.mapPartitions { it =>
+      val ps = projsBc.value
+      val mn = meanBc.value
+      it.flatMap { e =>
+        val centered = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { centered(i) = e.emb(i) - mn(i); i += 1 }
+        val keys = bandKeysOf(centered, ps, w, bands, rows)
+        Iterator.tabulate(bands)(j => ((side, j, keys(j)), 1L))
+      }
+    }
+    val hot = bandKeyRows(qP, 0)
+      .union(bandKeyRows(cP, 1))
       .reduceByKey(_ + _, spark.sparkContext.defaultParallelism)
       .filter(_._2 > cfg.bucketCap)
       .map { case ((s, b, key), n) => (s, b, key, n) }
@@ -473,7 +490,6 @@ object LshTopK {
       // session must not accumulate cached blocks (ADVICE r2)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize before releasing what it was built from
-    Seq(qb, cb).foreach(_.unpersist(blocking = false))
     Seq(qP, cP).foreach(_.unpersist(blocking = false))
     result
   }
