@@ -119,6 +119,37 @@ object NeighborAgg {
       .agg(new OrderedDedupAgg(limit).toColumn.name("neighbors"))
   }
 
+  /** In-place quicksort of `keys[lo..hi]` carrying one or two parallel
+    * Int arrays (`p2` may be null) — the primitive-paired sort the
+    * broadcast pack needs (keys are unique ids, so pivot ties cannot
+    * recurse degenerately on equal runs; a boxed `sortBy` here costs
+    * both tuple allocation and comparator dispatch on a 100k+ row
+    * driver-serial path). */
+  private def sortPaired(keys: Array[Long], p1: Array[Int], p2: Array[Int],
+                         lo: Int, hi: Int): Unit = {
+    if (lo >= hi) return
+    @inline def swap(i: Int, j: Int): Unit = {
+      val k = keys(i); keys(i) = keys(j); keys(j) = k
+      val a = p1(i); p1(i) = p1(j); p1(j) = a
+      if (p2 != null) { val b = p2(i); p2(i) = p2(j); p2(j) = b }
+    }
+    val mid = lo + (hi - lo) / 2
+    // median-of-three pivot selection
+    if (keys(mid) < keys(lo)) swap(mid, lo)
+    if (keys(hi) < keys(lo)) swap(hi, lo)
+    if (keys(hi) < keys(mid)) swap(hi, mid)
+    val pivot = keys(mid)
+    var i = lo
+    var j = hi
+    while (i <= j) {
+      while (keys(i) < pivot) i += 1
+      while (keys(j) > pivot) j -= 1
+      if (i <= j) { swap(i, j); i += 1; j -= 1 }
+    }
+    sortPaired(keys, p1, p2, lo, j)
+    sortPaired(keys, p1, p2, i, hi)
+  }
+
   /** Default byte budget for the [[blocks]] broadcast fast path:
     * override with spark.graft.blocksBroadcastMaxBytes (≤ 0 disables
     * the fast path outright). 256 MB is a sane executor broadcast on
@@ -163,19 +194,70 @@ object NeighborAgg {
       // graphs at broadcast-creation time (measured ~17 s of driver gap
       // at E=50k — more than the shuffle it replaced); primitive arrays
       // serialize as bulk bytes in well under a second.
-      val embArr = embs.collect().sortBy(_.id)
-      val embIds = embArr.map(_.id)
-      val embFlat = new Array[Float](embArr.length * dim)
-      var r = 0
-      while (r < embArr.length) {
-        System.arraycopy(embArr(r).emb, 0, embFlat, r * dim, dim); r += 1
+      // The pack happens ON THE EXECUTORS (round 6): `embs.collect()`
+      // decoded 100k embedding rows through the row encoder on the
+      // driver, single-threaded — measured as a 6.6 s driver gap at
+      // E=50k (tools/CpuProfile), a pure serial term that Amdahl-caps
+      // the N-vs-4N ladder. Each partition now emits ONE
+      // (ids, packed-floats) pair — executor-parallel packing, and the
+      // driver's decode of a handful of primitive-array rows is bulk
+      // memcpy. The driver only concatenates and applies one sort
+      // permutation.
+      // the kg collect is independent of the embedding collect — run it
+      // concurrently (guide §2.6: overlap independent jobs) so the
+      // serial prelude pays one job round-trip, not two
+      val kgFuture = scala.concurrent.Future {
+        ents.toDF().select(col("id"), col("kg")).as[(Long, Int)]
+          .mapPartitions { it =>
+            val ids = new scala.collection.mutable.ArrayBuffer[Long]
+            val kgs = new scala.collection.mutable.ArrayBuffer[Int]
+            it.foreach { case (i, kg) => ids += i; kgs += kg }
+            Iterator.single((ids.toArray, kgs.toArray))
+          }.collect()
+      }(scala.concurrent.ExecutionContext.global)
+      val packed: Array[(Array[Long], Array[Float])] = embs.mapPartitions { it =>
+        val idB = new scala.collection.mutable.ArrayBuffer[Long]
+        val emB = new scala.collection.mutable.ArrayBuffer[Array[Float]]
+        it.foreach { e => idB += e.id; emB += e.emb }
+        val flat = new Array[Float](emB.length * dim)
+        var i = 0
+        while (i < emB.length) { System.arraycopy(emB(i), 0, flat, i * dim, dim); i += 1 }
+        Iterator.single((idB.toArray, flat))
+      }.collect()
+      // single output allocation + primitive paired sort + direct gather
+      // from the partition buffers: boxed sortBy tuples and a second
+      // 100 MB concat buffer measured as multi-second driver gaps on
+      // this host's slow first-touch page-fault path
+      val total = packed.iterator.map(_._1.length).sum
+      val embIds = new Array[Long](total)
+      val partOf = new Array[Int](total)
+      val idxOf = new Array[Int](total)
+      var off = 0
+      var p = 0
+      while (p < packed.length) {
+        val ids = packed(p)._1
+        var i = 0
+        while (i < ids.length) {
+          embIds(off) = ids(i); partOf(off) = p; idxOf(off) = i; off += 1; i += 1
+        }
+        p += 1
       }
-      val kgArr = ents.toDF().select(col("id"), col("kg")).as[(Long, Int)]
-        .collect().sortBy(_._1)
+      sortPaired(embIds, partOf, idxOf, 0, total - 1)
+      val embFlat = new Array[Float](total * dim)
+      var r = 0
+      while (r < total) {
+        System.arraycopy(packed(partOf(r))._2, idxOf(r) * dim, embFlat, r * dim, dim)
+        r += 1
+      }
+      val kgPacked = scala.concurrent.Await.result(kgFuture,
+        scala.concurrent.duration.Duration.Inf)
+      val kgIds = kgPacked.flatMap(_._1)
+      val kgVals = kgPacked.flatMap(_._2)
+      sortPaired(kgIds, kgVals, null, 0, kgIds.length - 1)
       val bcEmbIds = spark.sparkContext.broadcast(embIds)
       val bcEmbFlat = spark.sparkContext.broadcast(embFlat)
-      val bcKgIds = spark.sparkContext.broadcast(kgArr.map(_._1))
-      val bcKgVals = spark.sparkContext.broadcast(kgArr.map(_._2))
+      val bcKgIds = spark.sparkContext.broadcast(kgIds)
+      val bcKgVals = spark.sparkContext.broadcast(kgVals)
       return ordered.mapPartitions { it =>
           val ids = bcEmbIds.value; val flatAll = bcEmbFlat.value
           val kIds = bcKgIds.value; val kVals = bcKgVals.value

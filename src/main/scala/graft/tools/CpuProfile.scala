@@ -23,6 +23,24 @@ object CpuProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // between-job gaps + per-job walls: the driver-serial floor that
+    // Amdahl-caps the N-vs-4N ladder once task compute shrinks
+    @volatile var lastEnd = 0L
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val jobStartAt = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val gap = if (lastEnd > 0) math.max(0L, j.time - lastEnd) else 0L
+        val site = j.stageInfos.lastOption.map(_.name.take(60)).getOrElse("?")
+        jobStartAt.put(j.jobId, (j.time, gap, site))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        lastEnd = math.max(lastEnd, j.time)
+        Option(jobStartAt.remove(j.jobId)).foreach { case (t0, gap, site) =>
+          jobLines.add(f"[cpuprof] job#${j.jobId}%3d dur=${(j.time - t0) / 1000.0}%6.2f gap=${gap / 1000.0}%5.2f $site")
+        }
+      }
+    })
     val tmx = java.lang.management.ManagementFactory.getThreadMXBean
     val byName = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val byFrame = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
@@ -74,6 +92,7 @@ object CpuProfile {
     sampling = false
     Thread.sleep(300)
     import scala.jdk.CollectionConverters._
+    jobLines.asScala.foreach(println)
     println("[cpuprof] == CPU by thread prefix (s) ==")
     byName.asScala.toSeq.map { case (k, v) => (k, v.get / 1e9) }.sortBy(-_._2).take(20)
       .foreach { case (k, v) => println(f"[cpuprof] $v%8.1f  $k") }
