@@ -255,10 +255,14 @@ object KgQueries {
           s(i % 8) += (bytes(i) & 0xff) // ??? real decode goes here
           i += 1
         }
-        var ss = 0.0
+        // ss accumulates EXACT in Long like the twin's HUGEINT sum with
+        // one cast at the sqrt (ADVICE r5): a double accumulator loses
+        // ULPs once a group sum exceeds ~9.4e7 (multi-MB payloads) and
+        // could diverge from the oracle; Long is exact to ~94 MB/group
+        var ss = 0L
         var j = 0
-        while (j < 8) { ss += s(j).toDouble * s(j); j += 1 }
-        val norm = math.sqrt(ss)
+        while (j < 8) { ss += s(j) * s(j); j += 1 }
+        val norm = math.sqrt(ss.toDouble)
         var fp = 0L
         j = 0
         while (j < 8) {

@@ -96,6 +96,11 @@ object StreamingKg {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     require(rebootstrapOnDrift.isEmpty || stateDir.nonEmpty,
       "rebootstrapOnDrift requires a durable stateDir — the re-fit lands at commit points (see OnDriftAdvised)")
+    // refuse-loudly (ADVICE r5): rebootstrap is an indexed-mode
+    // operation — with cfg.useIndex off the commit hook would silently
+    // drop every firing advisory, leaving the policy inert
+    require(rebootstrapOnDrift.isEmpty || cfg.useIndex,
+      "rebootstrapOnDrift requires the indexed mode (cfg.useIndex) — the exact mode has no geometry to re-fit")
     val handle = new Handle(new AtomicReference[AlignState](state0))
     var driftPending = false
     val sid = checkpointLocation.map(StreamProgress.streamId)
@@ -149,6 +154,11 @@ object StreamingKg {
     require(commitEvery >= 1, "commitEvery must be >= 1")
     require(rebootstrapOnDrift.isEmpty || stateDir.nonEmpty,
       "rebootstrapOnDrift requires a durable stateDir — the re-fit lands at commit points (see OnDriftAdvised)")
+    // refuse-loudly (ADVICE r5): rebootstrap is an indexed-mode
+    // operation — with cfg.useIndex off the commit hook would silently
+    // drop every firing advisory, leaving the policy inert
+    require(rebootstrapOnDrift.isEmpty || cfg.useIndex,
+      "rebootstrapOnDrift requires the indexed mode (cfg.useIndex) — the exact mode has no geometry to re-fit")
     val handle = new Handle(new AtomicReference[AlignState](state0))
     var driftPending = false
     val sid = checkpointLocation.map(StreamProgress.streamId)

@@ -19,6 +19,11 @@ import duckdb
 def norm(v):
     if hasattr(v, 'tolist') and not isinstance(v, (int, float)):
         return tuple(norm(x) for x in v.tolist())
+    # bools BEFORE the float/int paths (ADVICE r5): Python True == 1, so
+    # an untagged bool could silently equal an integer 0/1 column — the
+    # same cross-type-equality class the float tag eliminates
+    if isinstance(v, bool):
+        return ('b', v)
     if isinstance(v, float):
         return ('f', round(v, 9))
     if isinstance(v, list):
