@@ -698,4 +698,24 @@ class IncrementalSpec extends SparkTestBase {
     assert(effectiveAssign(s3) == effectiveAssign(full))
     assert(canonBag(s3) == canonBag(full))
   }
+
+  test("battery fixture ordering independence: retract-first equals incremental-first") {
+    // q_kg_incremental / q_kg_retract / q_kg_indexed share a session
+    // fixture (KgQueries.incFixture); retract consumes the cached state
+    // WITHOUT mutating it, so the rows of every query must be identical
+    // under any battery iteration order (VERDICT r5 next #6). Two
+    // isolated sessions run the two orders; row multisets must match.
+    def rows(s: org.apache.spark.sql.SparkSession, name: String): Seq[String] = {
+      val dir = "/root/testdata/sf0.001"
+      graft.SparkEntry.queries(name)(s, dir).collect().map(_.toString).sorted.toSeq
+    }
+    val sA = spark.newSession()
+    val incA = rows(sA, "q_kg_incremental")
+    val retA = rows(sA, "q_kg_retract")
+    val sB = spark.newSession()
+    val retB = rows(sB, "q_kg_retract")
+    val incB = rows(sB, "q_kg_incremental")
+    assert(incA == incB, "q_kg_incremental rows depend on battery order")
+    assert(retA == retB, "q_kg_retract rows depend on battery order")
+  }
 }

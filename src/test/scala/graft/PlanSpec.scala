@@ -102,6 +102,28 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), s"expected hash aggregate dedup:\n$plan")
   }
 
+  test("SessionTemp digest law: a regenerated source re-materializes the staged value") {
+    // the staged-signature frames (TextQueries.stagedFrame) and the
+    // TableIO demo tables key their session caches on the source's
+    // recursive listing digest — this gates the law directly (VERDICT
+    // r5 next #4): an in-place regeneration, even name-stable and
+    // same-size, must rebuild rather than serve the previous generation
+    val src = java.nio.file.Files.createTempDirectory("graft_sess_src").toFile
+    val f = new java.io.File(src, "part-0")
+    java.nio.file.Files.write(f.toPath, "alpha".getBytes)
+    var builds = 0
+    def get(): String =
+      graft.util.SessionTemp.keyed("spec-stage", src) { root => builds += 1; root }
+    val first = get()
+    assert(get() == first && builds == 1, "same generation must serve the cached value")
+    java.nio.file.Files.write(f.toPath, "bravo".getBytes) // same size, new content
+    assert(f.setLastModified(f.lastModified() + 2000))    // force past mtime granularity
+    val second = get()
+    assert(builds == 2, "regenerated source must re-materialize")
+    assert(second != first, "a new generation gets a fresh temp root")
+    assert(get() == second && builds == 2, "the new generation is itself cached")
+  }
+
   test("span explode over a parquet doc table: codegen'd, nested schema pruned") {
     import spark.implicits._
     val docs = graft.ingest.DocSynthesizer.docs(spark, graft.ingest.SynthConfig(entitiesPerKg = 10))
